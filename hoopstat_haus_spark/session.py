@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for the maintenance engine.
+
+Local-mode defaults mirror what we'd set on a real cluster: AQE on
+(coalesce + skew-join), Arrow enabled for pandas UDF exchange, shuffle
+partitions sized to parallelism (not the 200 default), UTC session
+timezone for determinism against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "hoopstat-haus-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``cpus`` only takes effect when a new JVM is started (local mode);
+    an already-running session is returned as-is apart from runtime-
+    settable SQL confs.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # AQE: runtime coalesce of shuffle partitions + skew-join split —
+        # the engine's answer to hot `source` partitions at 100 TB.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for pandas UDFs (Z-order kernels, grouped-map ops).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Deterministic wall-clock semantics vs the DuckDB oracle.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Parquet scan efficiency: pushdown + vectorized reader are on by
+        # default; keep them explicit so a misconfigured cluster can't
+        # silently lose them.
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.enableVectorizedReader", "true")
+        # local[32] shares one JVM: give it headroom.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "12g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
