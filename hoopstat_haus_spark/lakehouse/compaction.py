@@ -1,0 +1,182 @@
+"""Small-file compaction: bin-packing planner + Z-order rewrite executor.
+
+The reference ships a compaction *planner* only — file-size policy
+MIN 5 / TARGET 25 / MAX 50 MB, a parquet size estimator, and a split
+recommendation (``libs/hoopstat-data/hoopstat_data/partitioning.py:
+90-163``) — and defers execution to S3 Tables ("3× faster queries via
+automatic compaction", ``meta/adr/ADR-026:74-75``). This module is the
+execution engine it never had, scaled for a 1000-executor cluster:
+
+- **Planner** (:func:`plan_compaction`): pure driver-side function over
+  manifest rows (metadata, not data). First-fit-decreasing bin packing of
+  undersized files into target-size groups; oversized files become split
+  groups. Unit-testable with exact-value asserts, like the reference's
+  ``test_partitioning.py``.
+- **Executor** (:func:`compact_partition`): per `source` partition, ONE
+  wide transform: column-pruned read of the victim files → JVM-side
+  xxhash64 + Arrow Z-key kernel → ``repartitionByRange(n_out, _zkey)``
+  → ``sortWithinPartitions(_zkey)`` → parquet write. Range partitioning
+  samples the key distribution, so output files get balanced bytes and
+  DISJOINT Z-ranges — that disjointness is what makes manifest zmin/zmax
+  pruning effective. AQE handles residual skew.
+
+Skew handling: partitions are processed as independent units (hot
+`source` values don't convoy behind cold ones, and each unit saturates
+the cluster), and within a unit the shuffle key is the near-unique
+Z-key, which cannot skew. For the no-sort binpack strategy the shuffle
+key is a salted doc-hash (``pmod(xxhash64(doc_id), n_out)``).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from hoopstat_haus_spark.lakehouse.zorder import with_zkey
+
+
+@dataclass
+class CompactionPolicy:
+    """Engine defaults target cloud-scale files; tests shrink them.
+
+    The reference's 5/25/50 MB policy was sized for Lambda memory
+    (``meta/adr/ADR-020:65-69``); a 100 TB table wants 128 MB+ targets so
+    a scan task amortizes open/seek costs.
+    """
+
+    min_file_bytes: int = 32 * 1024 * 1024
+    target_file_bytes: int = 128 * 1024 * 1024
+    max_file_bytes: int = 256 * 1024 * 1024
+    # rewrite a partition when at least this many files are undersized
+    min_input_files: int = 2
+
+
+@dataclass
+class FileGroup:
+    partition: str
+    files: list[dict] = field(default_factory=list)
+
+    @property
+    def total_bytes(self) -> int:
+        return sum(f["file_bytes"] for f in self.files)
+
+    @property
+    def paths(self) -> list[str]:
+        return [f["file_path"] for f in self.files]
+
+
+def plan_compaction(
+    entries: list[dict],
+    policy: CompactionPolicy,
+    require_clustered: bool = True,
+) -> dict[str, list[FileGroup]]:
+    """First-fit-decreasing bin packing per partition.
+
+    A file is a rewrite candidate when it is undersized, oversized, or
+    (``require_clustered``) not yet Z-clustered (zmin < 0). Candidates are
+    sorted by size descending and packed first-fit into bins capped at
+    ``target_file_bytes`` — the classic FFD ≤ (11/9)·OPT + 1 bound keeps
+    output counts near-optimal without a solver.
+    """
+    by_partition: dict[str, list[dict]] = {}
+    for e in entries:
+        by_partition.setdefault(e["partition"], []).append(e)
+
+    plans: dict[str, list[FileGroup]] = {}
+    for part, files in sorted(by_partition.items()):
+        candidates = [
+            f
+            for f in files
+            if f["file_bytes"] < policy.min_file_bytes
+            or f["file_bytes"] > policy.max_file_bytes
+            or (require_clustered and f["zmin"] < 0)
+        ]
+        if len(candidates) < policy.min_input_files and not any(
+            f["file_bytes"] > policy.max_file_bytes for f in candidates
+        ):
+            continue
+        bins: list[FileGroup] = []
+        for f in sorted(candidates, key=lambda x: -x["file_bytes"]):
+            placed = False
+            if f["file_bytes"] <= policy.target_file_bytes:
+                for b in bins:
+                    if b.total_bytes + f["file_bytes"] <= policy.target_file_bytes:
+                        b.files.append(f)
+                        placed = True
+                        break
+            if not placed:
+                bins.append(FileGroup(partition=part, files=[f]))
+        plans[part] = bins
+    return plans
+
+
+def output_file_count(total_bytes: int, policy: CompactionPolicy) -> int:
+    return max(1, math.ceil(total_bytes / policy.target_file_bytes))
+
+
+def compact_partition(
+    spark: SparkSession,
+    table_path: str,
+    partition: str,
+    input_rel_paths: list[str],
+    total_bytes: int,
+    policy: CompactionPolicy,
+    job_id: str,
+    curve: str = "zorder",
+    strategy: str = "sort",
+) -> list[str]:
+    """Rewrite one partition's victim files; returns new relative paths.
+
+    Staging-then-rename keeps the partition directory consistent: readers
+    resolve files through the manifest, so in-flight staged files are
+    invisible until the final snapshot commit.
+    """
+    data_dir = os.path.join(table_path, "data")
+    abs_paths = [os.path.join(table_path, p) for p in input_rel_paths]
+    n_out = output_file_count(total_bytes, policy)
+
+    df = spark.read.option("basePath", data_dir).parquet(*abs_paths).drop("source", "_zkey")
+    if strategy == "sort":
+        df = with_zkey(df, curve=curve)
+        df = df.repartitionByRange(n_out, F.col("_zkey")).sortWithinPartitions("_zkey")
+    elif strategy == "binpack":
+        # no clustering: salted even-byte split, no sort cost
+        df = df.repartition(n_out, F.pmod(F.xxhash64("doc_id"), F.lit(n_out)))
+        df = with_zkey(df, curve=curve)  # still stamp the key for future pruning
+        df = df.sortWithinPartitions("_zkey")
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    staging = os.path.join(table_path, ".staging", job_id, partition)
+    if os.path.exists(staging):
+        shutil.rmtree(staging)  # discard partial output from a crashed run
+    df.write.mode("overwrite").parquet(staging)
+
+    part_dir = os.path.join(data_dir, f"source={partition}")
+    os.makedirs(part_dir, exist_ok=True)
+    new_rel: list[str] = []
+    seq = 0
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        final = f"compact-{job_id}-{seq:05d}.parquet"
+        os.replace(os.path.join(staging, name), os.path.join(part_dir, final))
+        new_rel.append(f"data/source={partition}/{final}")
+        seq += 1
+    shutil.rmtree(os.path.join(table_path, ".staging", job_id), ignore_errors=True)
+    return new_rel
+
+
+def estimate_parquet_bytes(row_count: int, avg_tokens: float) -> int:
+    """Planner-side size estimate: int32 tokens dominate; parquet gets
+    ~0.7 compression on this payload (the reference assumed the same
+    ratio, ``partitioning.py:99-113``)."""
+    raw = row_count * (4 * avg_tokens + 40)
+    return int(raw * 0.7)

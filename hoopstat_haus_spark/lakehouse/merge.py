@@ -1,0 +1,151 @@
+"""MERGE INTO: partition-pruned, manifest-pruned copy-on-write rewrite.
+
+Reference ancestor: quarantine replay — patch a payload, overwrite the
+single bronze object addressed by (entity, date, game_id), re-derive the
+affected date downstream (``apps/bronze-ingestion/app/replay.py:127-364``,
+write-back ``:425-458``). The engine generalizes "overwrite the one
+object that holds the key" to Iceberg MERGE semantics:
+
+    WHEN MATCHED AND u._op = 'delete'  THEN DELETE
+    WHEN MATCHED                       THEN UPDATE (tokens, n_tok)
+    WHEN NOT MATCHED AND NOT delete    THEN INSERT
+
+Scale design (SURVEY.md §7.5): the full table is NEVER joined. Candidate
+files are chosen by joining the (small) update set against the manifest's
+per-file [min_doc_id, max_doc_id] ranges within matching `source`
+partitions — a broadcast of metadata, not data. Only candidate files are
+read and rewritten; the join inside them broadcasts the update side so
+the 4 KB token arrays of the target never shuffle. Untouched files are
+carried into the new manifest by reference.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hoopstat_haus_spark.lakehouse import manifest as mf
+from hoopstat_haus_spark.lakehouse.checkpoint import JobCheckpoint
+from hoopstat_haus_spark.lakehouse.metrics import JobMetrics
+from hoopstat_haus_spark.lakehouse.snapshots import Snapshot
+from hoopstat_haus_spark.lakehouse.table import TokenLakeTable
+from hoopstat_haus_spark.lakehouse.zorder import with_zkey
+
+OP_COL = "_op"  # optional in updates: 'upsert' (default) | 'delete'
+
+
+def _candidate_files(spark: SparkSession, entries: list[dict], updates: DataFrame) -> list[dict]:
+    """Manifest ∩ updates on (partition, doc_id range) → files to rewrite."""
+    man = spark.createDataFrame(
+        [(e["file_path"], e["partition"], e["min_doc_id"], e["max_doc_id"]) for e in entries],
+        schema="file_path string, partition string, min_doc_id string, max_doc_id string",
+    )
+    keys = updates.select("doc_id", "source").distinct()
+    hit = (
+        man.join(
+            F.broadcast(keys),
+            (man.partition == keys.source)
+            & (keys.doc_id >= man.min_doc_id)
+            & (keys.doc_id <= man.max_doc_id),
+            "left_semi",
+        )
+        .select("file_path")
+        .collect()
+    )
+    paths = {r["file_path"] for r in hit}
+    return [e for e in entries if e["file_path"] in paths]
+
+
+def merge_into(
+    table: TokenLakeTable,
+    updates: DataFrame,
+    job_id: str | None = None,
+    curve: str = "zorder",
+) -> tuple[Snapshot, JobMetrics]:
+    """Upsert/delete ``updates`` (doc_id, tokens, n_tok, source[, _op])
+    into the table; returns the new snapshot + job metrics."""
+    spark = table.spark
+    job_id = job_id or f"merge-{uuid.uuid4().hex[:10]}"
+    metrics = JobMetrics(job=job_id)
+    ckpt = JobCheckpoint(table.path, job_id)
+    head = table.log.current()
+    entries = mf.read_manifest(table.path, head.manifest)
+
+    if OP_COL not in updates.columns:
+        updates = updates.withColumn(OP_COL, F.lit("upsert"))
+    updates = updates.select("doc_id", "tokens", "n_tok", "source", OP_COL)
+
+    cand = _candidate_files(spark, entries, updates)
+    cand_paths = [e["file_path"] for e in cand]
+    metrics.files_in = len(cand_paths)
+    metrics.bytes_in = sum(e["file_bytes"] for e in cand)
+    metrics.partitions = len({e["partition"] for e in cand})
+
+    u = updates.alias("u")
+    new_files: list[str] = []
+    ckpt.intent("rewrite", cand_paths)
+    t0 = time.time()
+    if cand_paths:
+        target = table.spark.read.option("basePath", table.data_dir).parquet(
+            *[os.path.join(table.path, p) for p in cand_paths]
+        )
+        if mf.ZKEY_COL in target.columns:
+            target = target.drop(mf.ZKEY_COL)
+        t = target.alias("t")
+        joined = t.join(F.broadcast(u), ["doc_id", "source"], "left_outer")
+        survivors = joined.filter((F.col(f"u.{OP_COL}").isNull()) | (F.col(f"u.{OP_COL}") != "delete")).select(
+            F.col("doc_id"),
+            F.coalesce(F.col("u.tokens"), F.col("t.tokens")).alias("tokens"),
+            F.coalesce(F.col("u.n_tok"), F.col("t.n_tok")).cast("int").alias("n_tok"),
+            F.col("source"),
+        )
+        survivors = with_zkey(survivors, curve=curve).sortWithinPartitions("source", mf.ZKEY_COL)
+        new_files += table._write_files(survivors, f"merge-{job_id}", repartition_n=None)
+
+        matched_keys = (
+            t.join(F.broadcast(u.select("doc_id", "source")), ["doc_id", "source"], "left_semi")
+            .select("doc_id", "source")
+        )
+    else:
+        matched_keys = spark.createDataFrame([], schema="doc_id string, source string")
+
+    inserts = (
+        u.filter(F.col(OP_COL) != "delete")
+        .join(matched_keys, ["doc_id", "source"], "left_anti")
+        .select("doc_id", "tokens", "n_tok", "source")
+    )
+    inserts = with_zkey(inserts, curve=curve).sortWithinPartitions("source", mf.ZKEY_COL)
+    new_files += table._write_files(inserts, f"insert-{job_id}", repartition_n=None)
+
+    new_entries = [e for e in entries if e["file_path"] not in set(cand_paths)]
+    fresh = mf.compute_file_stats(spark, table.path, new_files)
+    metrics.files_out = len(fresh)
+    metrics.bytes_out = sum(e["file_bytes"] for e in fresh)
+    metrics.rows = sum(e["row_count"] for e in fresh)
+    metrics.tokens = sum(e["token_count"] for e in fresh)
+    new_entries.extend(fresh)
+    ckpt.done(
+        "rewrite",
+        cand_paths,
+        new_files,
+        rows=metrics.rows,
+        tokens=metrics.tokens,
+        duration_s=time.time() - t0,
+    )
+    rel = mf.write_manifest(table.path, new_entries)
+    snap = table.log.commit(
+        rel,
+        "merge",
+        {
+            "job_id": job_id,
+            "rewritten_files": len(cand_paths),
+            "new_files": len(fresh),
+            "rows": int(sum(e["row_count"] for e in new_entries)),
+        },
+        expected_parent=head.snapshot_id,
+    )
+    return snap, metrics.finish()

@@ -1,0 +1,127 @@
+"""Snapshot log: atomic commits, isolation, expiry, reachability GC.
+
+The reference signals "this date's data is complete" with a ready-marker
+JSON written exactly once (``libs/hoopstat-s3/hoopstat_s3/
+silver_s3_manager.py:314-376``) plus an idempotency head-check
+(``:255-272``). We generalize both into an Iceberg-style snapshot log:
+
+    _snapshots/v<N>.json   — immutable snapshot record
+    _snapshots/current     — pointer file, swapped atomically (os.replace)
+
+Readers pin a snapshot id and resolve it to a manifest; maintenance jobs
+commit a new snapshot only at the very end, so a crashed job leaves the
+table unchanged (the staged files are orphans collected by GC).
+
+The pointer swap is isolated behind ``_swap_pointer`` so an object-store
+conditional-put (S3 If-None-Match) could replace the local rename without
+touching callers — the same issue the reference hit with S3's lack of
+atomic append (``meta/adr/ADR-031:49-51``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    manifest: str  # path relative to table root
+    operation: str  # append | compact | merge | overwrite
+    summary: dict = field(default_factory=dict)
+    timestamp_ms: int = 0
+
+    @property
+    def name(self) -> str:
+        return f"v{self.snapshot_id}"
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed since this job planned — retry from plan."""
+
+
+class SnapshotLog:
+    def __init__(self, table_path: str):
+        self.table_path = table_path
+        self.dir = os.path.join(table_path, "_snapshots")
+        os.makedirs(self.dir, exist_ok=True)
+
+    # -- reads ---------------------------------------------------------
+    def current_id(self) -> int | None:
+        ptr = os.path.join(self.dir, "current")
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            return int(f.read().strip().lstrip("v"))
+
+    def get(self, snapshot_id: int) -> Snapshot:
+        with open(os.path.join(self.dir, f"v{snapshot_id}.json")) as f:
+            return Snapshot(**json.load(f))
+
+    def current(self) -> Snapshot | None:
+        sid = self.current_id()
+        return self.get(sid) if sid is not None else None
+
+    def list_ids(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.dir):
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    # -- commits -------------------------------------------------------
+    def commit(
+        self,
+        manifest: str,
+        operation: str,
+        summary: dict | None = None,
+        expected_parent: int | None = None,
+    ) -> Snapshot:
+        """Optimistic-concurrency commit: fails if HEAD moved past
+        ``expected_parent`` (pass the id the job planned against)."""
+        head = self.current_id()
+        if expected_parent is not None and head != expected_parent:
+            raise ConcurrentCommitError(f"planned against v{expected_parent}, head is v{head}")
+        snap = Snapshot(
+            snapshot_id=(head or 0) + 1,
+            parent_id=head,
+            manifest=manifest,
+            operation=operation,
+            summary=summary or {},
+            timestamp_ms=int(time.time() * 1000),
+        )
+        snap_path = os.path.join(self.dir, f"{snap.name}.json")
+        tmp = snap_path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(asdict(snap), f, indent=1)
+        os.replace(tmp, snap_path)
+        self._swap_pointer(snap.name)
+        return snap
+
+    def _swap_pointer(self, name: str) -> None:
+        ptr = os.path.join(self.dir, "current")
+        tmp = ptr + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(name)
+        os.replace(tmp, ptr)  # atomic on POSIX
+
+    # -- expiry --------------------------------------------------------
+    def expire(self, keep_last: int = 2) -> list[int]:
+        """Drop all but the newest ``keep_last`` snapshots (HEAD always
+        kept). Returns expired ids. Data-file GC is a separate pass
+        (:func:`hoopstat_haus_spark.lakehouse.gc.collect_garbage`) so a
+        crash between expire and GC never loses reachable data."""
+        ids = self.list_ids()
+        head = self.current_id()
+        keep = set(ids[-keep_last:])
+        if head is not None:
+            keep.add(head)
+        expired = [i for i in ids if i not in keep]
+        for sid in expired:
+            os.remove(os.path.join(self.dir, f"v{sid}.json"))
+        return expired

@@ -1,0 +1,248 @@
+"""TokenLakeTable: the engine facade — create/scan/append/compact/merge/GC.
+
+Layout (SURVEY.md §7.2):
+
+    <path>/data/source=<s>/<file>.parquet     data files (Hive dirs)
+    <path>/_manifests/manifest-*.parquet      per-file stats (manifest.py)
+    <path>/_snapshots/v<N>.json + current     snapshot log (snapshots.py)
+    <path>/_checkpoints/<job_id>/*.json       lineage (checkpoint.py)
+
+Readers always resolve data files THROUGH a snapshot's manifest — never
+by listing directories — which is what makes commits atomic and scans
+snapshot-isolated (reference analog: downstream only reacts to the
+silver-ready marker, ``meta/adr/ADR-028:33-38``).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hoopstat_haus_spark.lakehouse import manifest as mf
+from hoopstat_haus_spark.lakehouse.checkpoint import JobCheckpoint
+from hoopstat_haus_spark.lakehouse.compaction import (
+    CompactionPolicy,
+    compact_partition,
+    plan_compaction,
+)
+from hoopstat_haus_spark.lakehouse.metrics import JobMetrics
+from hoopstat_haus_spark.lakehouse.snapshots import Snapshot, SnapshotLog
+from hoopstat_haus_spark.lakehouse.zorder import with_zkey
+
+DATA_COLUMNS = ["doc_id", "tokens", "n_tok", "source"]
+
+
+class TokenLakeTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self.log = SnapshotLog(self.path)
+
+    # ------------------------------------------------------------ write
+    @property
+    def data_dir(self) -> str:
+        return os.path.join(self.path, "data")
+
+    def _write_files(self, df: DataFrame, prefix: str, repartition_n: int | None) -> list[str]:
+        """Stage a partitionBy('source') write, then rename files into the
+        table's data dirs. Returns new table-relative paths."""
+        job = f"{prefix}-{uuid.uuid4().hex[:10]}"
+        staging = os.path.join(self.path, ".staging", job)
+        out = df
+        if repartition_n:
+            out = out.repartition(repartition_n)
+        (
+            out.select(*[c for c in out.columns if c in DATA_COLUMNS or c == mf.ZKEY_COL])
+            .write.mode("overwrite")
+            .partitionBy("source")
+            .parquet(staging)
+        )
+        new_rel: list[str] = []
+        for src_dir in sorted(os.listdir(staging)):
+            if not src_dir.startswith("source="):
+                continue
+            part_dir = os.path.join(self.data_dir, src_dir)
+            os.makedirs(part_dir, exist_ok=True)
+            seq = 0
+            for name in sorted(os.listdir(os.path.join(staging, src_dir))):
+                if not name.endswith(".parquet"):
+                    continue
+                final = f"{job}-{seq:05d}.parquet"
+                os.replace(os.path.join(staging, src_dir, name), os.path.join(part_dir, final))
+                new_rel.append(f"data/{src_dir}/{final}")
+                seq += 1
+        shutil.rmtree(staging, ignore_errors=True)
+        return new_rel
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        df: DataFrame,
+        repartition_n: int | None = None,
+    ) -> "TokenLakeTable":
+        """Create a table from a DataFrame. ``repartition_n`` is the
+        fragmentation knob: N tasks × |sources| dirs → many small files,
+        the state a fresh ingest leaves behind and compaction fixes."""
+        t = cls(spark, path)
+        if t.log.current_id() is not None:
+            raise ValueError(f"table already exists at {path}")
+        os.makedirs(t.data_dir, exist_ok=True)
+        new_files = t._write_files(df, "append", repartition_n)
+        entries = mf.compute_file_stats(spark, t.path, new_files)
+        rel = mf.write_manifest(t.path, entries)
+        t.log.commit(rel, "append", _summary(entries))
+        return t
+
+    def append(self, df: DataFrame, repartition_n: int | None = None) -> Snapshot:
+        head = self.log.current()
+        new_files = self._write_files(df, "append", repartition_n)
+        entries = mf.read_manifest(self.path, head.manifest) + mf.compute_file_stats(
+            self.spark, self.path, new_files
+        )
+        rel = mf.write_manifest(self.path, entries)
+        return self.log.commit(rel, "append", _summary(entries), expected_parent=head.snapshot_id)
+
+    # ------------------------------------------------------------- read
+    def manifest_entries(self, snapshot_id: int | None = None) -> list[dict]:
+        snap = self.log.get(snapshot_id) if snapshot_id else self.log.current()
+        if snap is None:
+            return []
+        return mf.read_manifest(self.path, snap.manifest)
+
+    def scan(
+        self,
+        snapshot_id: int | None = None,
+        include_zkey: bool = False,
+        n_tok_min: int | None = None,
+        n_tok_max: int | None = None,
+        sources: list[str] | None = None,
+    ) -> DataFrame:
+        """Snapshot-pinned scan with manifest-based file pruning.
+
+        Partition (``sources``) and stat (``n_tok`` range) predicates are
+        applied to manifest min/max BEFORE Spark sees a file list — the
+        driver-side analog of the reference's QueryPatternOptimizer prefix
+        pruning (``partitioning.py:166-266``) — then again as real
+        filters so parquet row-group pushdown finishes the job.
+        """
+        entries = self.manifest_entries(snapshot_id)
+        if sources is not None:
+            entries = [e for e in entries if e["partition"] in sources]
+        if n_tok_min is not None:
+            entries = [e for e in entries if e["max_n_tok"] >= n_tok_min]
+        if n_tok_max is not None:
+            entries = [e for e in entries if e["min_n_tok"] <= n_tok_max]
+        if not entries:
+            return self.spark.createDataFrame([], schema="doc_id string, tokens array<int>, n_tok int, source string")
+        paths = [os.path.join(self.path, e["file_path"]) for e in entries]
+        df = self.spark.read.option("basePath", self.data_dir).parquet(*paths)
+        if n_tok_min is not None:
+            df = df.filter(F.col("n_tok") >= n_tok_min)
+        if n_tok_max is not None:
+            df = df.filter(F.col("n_tok") <= n_tok_max)
+        if not include_zkey and mf.ZKEY_COL in df.columns:
+            df = df.drop(mf.ZKEY_COL)
+        return df
+
+    # ------------------------------------------- maintenance: compaction
+    def compact(
+        self,
+        policy: CompactionPolicy | None = None,
+        curve: str = "zorder",
+        strategy: str = "sort",
+        job_id: str | None = None,
+    ) -> tuple[Snapshot | None, JobMetrics]:
+        """Full compaction + Z-order cycle; resumable via ``job_id``.
+
+        Per-partition units run through the lineage checkpoint: a re-run
+        with the same job_id skips finished partitions (their outputs are
+        already staged into the data dirs) and commits ONE snapshot at
+        the end. Crash anywhere → readers still see the old snapshot.
+        """
+        policy = policy or CompactionPolicy()
+        job_id = job_id or f"compact-{uuid.uuid4().hex[:10]}"
+        metrics = JobMetrics(job=job_id)
+        head = self.log.current()
+        entries = mf.read_manifest(self.path, head.manifest)
+        plans = plan_compaction(entries, policy)
+        if not plans:
+            return None, metrics.finish()
+
+        ckpt = JobCheckpoint(self.path, job_id)
+        done = ckpt.completed_units()
+        rewritten: set[str] = set()
+        new_files: list[str] = []
+        for part, groups in plans.items():
+            inputs = [f for g in groups for f in g.files]
+            in_paths = [f["file_path"] for f in inputs]
+            rewritten.update(in_paths)
+            metrics.files_in += len(in_paths)
+            metrics.bytes_in += sum(f["file_bytes"] for f in inputs)
+            metrics.rows += sum(f["row_count"] for f in inputs)
+            metrics.tokens += sum(f["token_count"] for f in inputs)
+            metrics.partitions += 1
+            if part in done:
+                new_files.extend(done[part]["output_files"])
+                continue
+            t0 = time.time()
+            ckpt.intent(part, in_paths)
+            out = compact_partition(
+                self.spark,
+                self.path,
+                part,
+                in_paths,
+                sum(f["file_bytes"] for f in inputs),
+                policy,
+                job_id,
+                curve=curve,
+                strategy=strategy,
+            )
+            ckpt.done(
+                part,
+                in_paths,
+                out,
+                rows=sum(f["row_count"] for f in inputs),
+                tokens=sum(f["token_count"] for f in inputs),
+                duration_s=time.time() - t0,
+            )
+            new_files.extend(out)
+
+        new_entries = [e for e in entries if e["file_path"] not in rewritten]
+        fresh = mf.compute_file_stats(self.spark, self.path, new_files)
+        metrics.files_out = len(fresh)
+        metrics.bytes_out = sum(e["file_bytes"] for e in fresh)
+        new_entries.extend(fresh)
+        rel = mf.write_manifest(self.path, new_entries)
+        snap = self.log.commit(
+            rel,
+            "compact",
+            {**_summary(new_entries), "job_id": job_id, "curve": curve, "strategy": strategy},
+            expected_parent=head.snapshot_id,
+        )
+        return snap, metrics.finish()
+
+    # ---------------------------------------------- maintenance: expiry
+    def expire_snapshots(self, keep_last: int = 2) -> list[int]:
+        return self.log.expire(keep_last)
+
+    def collect_garbage(self) -> dict:
+        from hoopstat_haus_spark.lakehouse.gc import collect_garbage
+
+        return collect_garbage(self.path)
+
+
+def _summary(entries: list[dict]) -> dict:
+    return {
+        "files": len(entries),
+        "rows": int(sum(e["row_count"] for e in entries)),
+        "tokens": int(sum(e["token_count"] for e in entries)),
+        "bytes": int(sum(e["file_bytes"] for e in entries)),
+        "partitions": len({e["partition"] for e in entries}),
+    }
