@@ -1,0 +1,88 @@
+"""Exact-value planner tests, mirroring the reference's
+``test_partitioning.py`` coverage of its 5/25/50 MB policy."""
+
+from hoopstat_haus_spark.lakehouse.compaction import (
+    CompactionPolicy,
+    FileGroup,
+    estimate_parquet_bytes,
+    output_file_count,
+    plan_compaction,
+)
+
+MB = 1024 * 1024
+
+
+def entry(path, part, size, zmin=0):
+    return {
+        "file_path": path,
+        "partition": part,
+        "file_bytes": size,
+        "row_count": 10,
+        "token_count": 100,
+        "zmin": zmin,
+        "zmax": zmin + 10,
+        "min_n_tok": 1,
+        "max_n_tok": 9,
+        "min_doc_id": "a",
+        "max_doc_id": "z",
+    }
+
+
+POLICY = CompactionPolicy(min_file_bytes=5 * MB, target_file_bytes=25 * MB, max_file_bytes=50 * MB)
+
+
+def test_well_sized_clustered_files_left_alone():
+    entries = [entry("f1", "web", 25 * MB), entry("f2", "web", 30 * MB)]
+    assert plan_compaction(entries, POLICY) == {}
+
+
+def test_small_files_packed_first_fit_decreasing():
+    sizes = [4, 4, 4, 4, 4, 4, 3, 3]  # MB, all < 5MB min -> candidates
+    entries = [entry(f"f{i}", "web", s * MB) for i, s in enumerate(sizes)]
+    plans = plan_compaction(entries, POLICY, require_clustered=False)
+    bins = plans["web"]
+    packed = [sorted(f["file_bytes"] // MB for f in b.files) for b in bins]
+    # FFD with 25MB bins: six 4s = 24 (a 3 would overflow), then [3, 3]
+    assert packed == [[4, 4, 4, 4, 4, 4], [3, 3]]
+
+
+def test_oversized_file_gets_own_split_group():
+    entries = [entry("big", "web", 120 * MB), entry("ok", "web", 25 * MB)]
+    plans = plan_compaction(entries, POLICY, require_clustered=False)
+    assert len(plans["web"]) == 1
+    assert plans["web"][0].paths == ["big"]
+    assert output_file_count(120 * MB, POLICY) == 5
+
+
+def test_single_small_file_not_worth_rewriting():
+    entries = [entry("lonely", "web", 1 * MB)]
+    assert plan_compaction(entries, POLICY, require_clustered=False) == {}
+
+
+def test_unclustered_files_are_candidates_when_clustering_required():
+    entries = [entry("f1", "web", 25 * MB, zmin=-1), entry("f2", "web", 25 * MB, zmin=-1)]
+    plans = plan_compaction(entries, POLICY, require_clustered=True)
+    assert {f for b in plans["web"] for f in b.paths} == {"f1", "f2"}
+
+
+def test_partitions_planned_independently():
+    entries = [
+        entry("w1", "web", 1 * MB),
+        entry("w2", "web", 1 * MB),
+        entry("b1", "books", 1 * MB),
+        entry("b2", "books", 1 * MB),
+    ]
+    plans = plan_compaction(entries, POLICY, require_clustered=False)
+    assert set(plans) == {"web", "books"}
+    assert all(g.partition == p for p, gs in plans.items() for g in gs)
+
+
+def test_group_totals():
+    g = FileGroup(partition="web", files=[entry("a", "web", 3), entry("b", "web", 4)])
+    assert g.total_bytes == 7
+    assert g.paths == ["a", "b"]
+
+
+def test_size_estimator_matches_reference_compression_assumption():
+    # 0.7 compression ratio, int32-token dominated (reference: partitioning.py:99-113)
+    assert estimate_parquet_bytes(1000, 260.0) == int(1000 * (4 * 260.0 + 40) * 0.7)

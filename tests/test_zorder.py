@@ -1,0 +1,68 @@
+"""Kernel unit tests with exact-value asserts (the reference's style in
+``libs/hoopstat-data/tests/test_transforms.py``)."""
+
+import numpy as np
+
+from hoopstat_haus_spark.lakehouse.zorder import (
+    _scale_to_bits,
+    hilbert_index,
+    morton2,
+    morton3,
+)
+
+
+def test_morton2_exact_values():
+    a = np.array([0b0000, 0b1111, 0b1010, 1], dtype=np.uint64)
+    b = np.array([0b0000, 0b0000, 0b0101, 1], dtype=np.uint64)
+    out = morton2(a, b)
+    # interleave: bit i of a -> bit 2i, bit i of b -> bit 2i+1
+    assert out[0] == 0
+    assert out[1] == 0b01010101
+    assert out[2] == 0b01100110  # a=1010,b=0101 -> MSB pairs (b_i,a_i): 01 10 01 10
+    assert out[3] == 0b11
+
+
+def test_morton2_orders_by_high_bits():
+    # points close in both dims are close in Z; far in one dim dominates
+    a = np.array([0, 1, 2, 1 << 30], dtype=np.uint64)
+    b = np.array([0, 0, 0, 0], dtype=np.uint64)
+    out = morton2(a, b)
+    assert list(np.argsort(out)) == [0, 1, 2, 3]
+
+
+def test_morton3_exact():
+    a = np.array([0b1], dtype=np.uint64)
+    b = np.array([0b1], dtype=np.uint64)
+    c = np.array([0b1], dtype=np.uint64)
+    assert morton3(a, b, c)[0] == 0b111
+
+
+def test_hilbert_bijective_on_small_grid():
+    bits = 4
+    n = 1 << bits
+    xs, ys = np.meshgrid(np.arange(n, dtype=np.uint64), np.arange(n, dtype=np.uint64))
+    coords = np.stack([xs.ravel(), ys.ravel()], axis=1)
+    keys = hilbert_index(coords, bits)
+    assert len(set(keys.tolist())) == n * n  # bijection
+    assert keys.min() == 0 and keys.max() == n * n - 1
+
+
+def test_hilbert_unit_steps_are_adjacent():
+    """Consecutive Hilbert indices must be grid neighbors (curve property
+    Z-order lacks) — the reason it's the skew-robust fallback."""
+    bits = 4
+    n = 1 << bits
+    xs, ys = np.meshgrid(np.arange(n, dtype=np.uint64), np.arange(n, dtype=np.uint64))
+    coords = np.stack([xs.ravel(), ys.ravel()], axis=1)
+    keys = hilbert_index(coords, bits)
+    order = np.argsort(keys)
+    pts = coords[order].astype(np.int64)
+    d = np.abs(np.diff(pts, axis=0)).sum(axis=1)
+    assert (d == 1).all()
+
+
+def test_scale_to_bits_clamps_and_spans():
+    v = np.array([-5.0, 0.0, 512.0, 1e9])
+    out = _scale_to_bits(v, 0, 512, 8)
+    assert out[0] == 0 and out[1] == 0
+    assert out[2] == 255 and out[3] == 255
