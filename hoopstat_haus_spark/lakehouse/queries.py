@@ -1,0 +1,157 @@
+"""Driver-gate queries for the maintenance engine itself.
+
+Because the token table is a closed-form derivation from `documents`
+(tables/token_table.py), even *post-maintenance* scans have exact ANSI
+SQL oracles: the oracle computes the expected logical state directly
+from `documents`, while the Spark side actually builds a lake table,
+runs the maintenance operation (compaction / merge / snapshot pinning),
+scans it back, and aggregates. A value mismatch means the engine
+corrupted, lost, or duplicated rows.
+
+Rollup shape (per source): n_docs, sum_n_tok, sum_tok_checksum — the
+checksum folds every token value in every array, so token-array
+corruption cannot hide.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hoopstat_haus_spark.lakehouse.compaction import CompactionPolicy
+from hoopstat_haus_spark.lakehouse.merge import merge_into
+from hoopstat_haus_spark.lakehouse.table import TokenLakeTable
+from hoopstat_haus_spark.tables.token_table import (
+    _MULT,
+    _STEP,
+    _VOCAB,
+    documents_token_sql,
+    from_documents,
+    token_expr,
+)
+
+SCRATCH_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch", "qruns")
+
+TEST_POLICY = CompactionPolicy(min_file_bytes=1 << 20, target_file_bytes=4 << 20, max_file_bytes=8 << 20)
+
+
+def _scratch(name: str) -> str:
+    _sweep_stale()
+    path = os.path.join(SCRATCH_ROOT, f"{name}-{uuid.uuid4().hex[:8]}")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    return path
+
+
+def _sweep_stale(max_age_s: float = 6 * 3600) -> None:
+    """Old query-run tables are safe to drop (results already collected)."""
+    if not os.path.isdir(SCRATCH_ROOT):
+        return
+    now = time.time()
+    for name in os.listdir(SCRATCH_ROOT):
+        p = os.path.join(SCRATCH_ROOT, name)
+        try:
+            if now - os.path.getmtime(p) > max_age_s:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+
+
+def rollup(df: DataFrame) -> DataFrame:
+    checksum = F.aggregate("tokens", F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long"))
+    return (
+        df.select("source", "n_tok", checksum.alias("chk"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("sum_n_tok"),
+            F.sum("chk").alias("sum_tok_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+_ROLLUP_SQL = """
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_n_tok,
+           CAST(SUM(list_sum(tokens)) AS BIGINT) AS sum_tok_checksum
+    FROM {src} t GROUP BY source ORDER BY source
+"""
+
+
+def compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cycle: fragmented create → bin-pack + Z-order → snapshot →
+    post-maintenance scan rollup (SURVEY.md §7.3 step 5)."""
+    t = TokenLakeTable.create(spark, _scratch("compact"), from_documents(spark, sf_dir), repartition_n=8)
+    t.compact(TEST_POLICY)
+    return rollup(t.scan())
+
+
+def merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO cycle: upsert every 50th doc (tokens+1), delete every
+    250th, insert 10 new docs, then scan the committed result."""
+    t = TokenLakeTable.create(spark, _scratch("merge"), from_documents(spark, sf_dir), repartition_n=8)
+
+    base = from_documents(spark, sf_dir)
+    num = F.substring("doc_id", 5, 10).cast("long")
+    upserts = (
+        base.filter(num % 50 == 0)
+        .withColumn("tokens", F.transform("tokens", lambda x: (x + 1).cast("int")))
+        .withColumn("_op", F.when(num % 250 == 0, "delete").otherwise("upsert"))
+    )
+    ins_num = F.col("id") + F.lit(900000)
+    inserts = spark.range(10).select(
+        F.format_string("doc-%08d", ins_num).alias("doc_id"),
+        token_expr(ins_num, F.lit(16)).alias("tokens"),
+        F.lit(16).alias("n_tok"),
+        F.lit("src0").alias("source"),
+        F.lit("upsert").alias("_op"),
+    )
+    merge_into(t, upserts.unionByName(inserts))
+    return rollup(t.scan())
+
+
+def snapshot_isolation_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compact, then read the PRE-maintenance snapshot: must equal the
+    original derivation exactly (readers pinned to old snapshots are
+    unaffected by maintenance)."""
+    t = TokenLakeTable.create(spark, _scratch("isolation"), from_documents(spark, sf_dir), repartition_n=8)
+    pre_snapshot = t.log.current_id()
+    t.compact(TEST_POLICY)
+    return rollup(t.scan(snapshot_id=pre_snapshot))
+
+
+def _tokens_sql() -> str:
+    return documents_token_sql()
+
+
+ORACLE = {
+    # compaction and snapshot-pinned scans must both equal the pure derivation
+    "maint_compact_scan": _ROLLUP_SQL.format(src=_tokens_sql()),
+    "maint_snapshot_isolation_scan": _ROLLUP_SQL.format(src=_tokens_sql()),
+    "maint_merge_scan": _ROLLUP_SQL.format(
+        src=f"""(
+          SELECT doc_id,
+                 CASE WHEN CAST(substr(doc_id, 5) AS BIGINT) % 50 = 0
+                      THEN list_transform(tokens, x -> CAST(x + 1 AS INTEGER)) ELSE tokens END AS tokens,
+                 n_tok, source
+          FROM {_tokens_sql()} b
+          WHERE CAST(substr(doc_id, 5) AS BIGINT) % 250 != 0
+          UNION ALL
+          SELECT printf('doc-%08d', 900000 + i) AS doc_id,
+                 list_transform(range(0, 16), k -> CAST(((900000 + i) * {_MULT} + k * {_STEP}) % {_VOCAB} AS INTEGER)) AS tokens,
+                 16 AS n_tok, 'src0' AS source
+          FROM range(10) r(i)
+        )"""
+    ),
+}
+
+QUERIES = {
+    "maint_compact_scan": compact_scan,
+    "maint_merge_scan": merge_scan,
+    "maint_snapshot_isolation_scan": snapshot_isolation_scan,
+}

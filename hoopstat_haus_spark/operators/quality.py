@@ -1,0 +1,151 @@
+"""Data-quality operators (SURVEY.md §2.9, Q1–Q4).
+
+Reference: ``libs/hoopstat-data/hoopstat_data/quality.py`` —
+completeness ratios, IQR/z-score outliers, consistency predicates,
+weighted quality score. The test tables have no NULLs, so completeness
+runs over deterministic NULLIF-injected gaps (the logic, not the luck,
+is what's under test). Outlier thresholds use EXACT percentiles
+(``F.percentile``, linear interpolation) to match ``quantile_cont`` —
+``percentile_approx`` would not be oracle-stable."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hoopstat_haus_spark.operators.common import load
+
+
+def _with_gaps(df: DataFrame) -> DataFrame:
+    """Deterministic NULL injection: every 7th value, every 13th props."""
+    return df.withColumn(
+        "value", F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("value"))
+    ).withColumn("props", F.when(F.col("event_id") % 13 == 0, None).otherwise(F.col("props")))
+
+
+def completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1: non-null ratio per required field (quality.py:15-61)."""
+    e = _with_gaps(load(spark, sf_dir, "events"))
+    def ratio(c):
+        return F.round(F.sum(F.when(F.col(c).isNotNull(), 1).otherwise(0)) / F.count(F.lit(1)), 6)
+    return e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        ratio("value").alias("value_completeness"),
+        ratio("props").alias("props_completeness"),
+        ratio("user_id").alias("user_id_completeness"),
+    )
+
+
+def iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 (IQR mode): flag rows outside [q1 - 1.5·IQR, q3 + 1.5·IQR]
+    (quality.py:64-126). Exact percentiles via one tiny global agg that
+    Catalyst broadcasts back — no driver round-trip."""
+    o = load(spark, sf_dir, "orders")
+    q = o.agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
+    )
+    j = o.crossJoin(F.broadcast(q))
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (F.col("o_totalprice") < F.col("q1") - 1.5 * iqr) | (
+        F.col("o_totalprice") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        j.filter(is_out)
+        .select(F.col("o_orderkey").alias("orderkey"), F.round("o_totalprice", 2).alias("totalprice"))
+        .orderBy("orderkey")
+    )
+
+
+def consistency_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3: impossible-stat predicates, counted per group (quality.py:129-182)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias("nonpositive_qty"),
+            F.sum(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0)).alias(
+                "bad_discount"
+            ),
+            F.sum(F.when(F.col("l_extendedprice") < F.col("l_quantity"), 1).otherwise(0)).alias(
+                "price_below_qty"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 + A14: weighted per-row score, then averaged per group
+    (quality.py:185-252 + transforms.py:984-999)."""
+    e = _with_gaps(load(spark, sf_dir, "events"))
+    completeness_part = (
+        F.when(F.col("value").isNotNull(), 0.5).otherwise(0.0)
+        + F.when(F.col("props").isNotNull(), 0.3).otherwise(0.0)
+        + F.lit(0.2)
+    )
+    validity_part = F.when(F.coalesce(F.col("value"), F.lit(0)) >= 0, 1.0).otherwise(0.0)
+    score = F.round(completeness_part * 0.6 + validity_part * 0.4, 6)
+    return (
+        e.withColumn("q", score)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum(F.col("q").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_quality"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_GAPPED = """(
+  SELECT event_id, ts, user_id, event_type,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value,
+         CASE WHEN event_id % 13 = 0 THEN NULL ELSE props END AS props
+  FROM events
+)"""
+
+ORACLE = {
+    "q_completeness": f"""
+        SELECT COUNT(*) AS n_rows,
+               ROUND(CAST(SUM(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS value_completeness,
+               ROUND(CAST(SUM(CASE WHEN props IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS props_completeness,
+               ROUND(CAST(SUM(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS user_id_completeness
+        FROM {_GAPPED} e
+    """,
+    "q_iqr_outliers": """
+        WITH q AS (
+          SELECT quantile_cont(o_totalprice, 0.25) AS q1, quantile_cont(o_totalprice, 0.75) AS q3 FROM orders
+        )
+        SELECT o_orderkey AS orderkey, ROUND(o_totalprice, 2) AS totalprice
+        FROM orders, q
+        WHERE o_totalprice < q1 - 1.5*(q3-q1) OR o_totalprice > q3 + 1.5*(q3-q1)
+        ORDER BY orderkey
+    """,
+    "q_consistency_violations": """
+        SELECT l_returnflag,
+               SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS nonpositive_qty,
+               SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS bad_discount,
+               SUM(CASE WHEN l_extendedprice < l_quantity THEN 1 ELSE 0 END) AS price_below_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "q_quality_score": f"""
+        SELECT event_type,
+               ROUND(CAST(SUM(CAST(ROUND(
+                 (CASE WHEN value IS NOT NULL THEN 0.5 ELSE 0.0 END
+                  + CASE WHEN props IS NOT NULL THEN 0.3 ELSE 0.0 END
+                  + 0.2) * 0.6
+                 + CASE WHEN COALESCE(value, 0) >= 0 THEN 1.0 ELSE 0.0 END * 0.4, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quality,
+               COUNT(*) AS n
+        FROM {_GAPPED} e
+        GROUP BY event_type ORDER BY event_type
+    """,
+}
+
+QUERIES = {
+    "q_completeness": completeness,
+    "q_iqr_outliers": iqr_outliers,
+    "q_consistency_violations": consistency_violations,
+    "q_quality_score": quality_score,
+}

@@ -1,0 +1,35 @@
+"""Central registry: every implemented operator exposed to the driver.
+
+Merges per-module QUERIES/ORACLE dicts. A query without an ORACLE entry
+is non-SQL-expressible (hash-based LSH/SimHash) and gets the driver's
+rows-only check; its correctness is proven in tests/ instead (recall vs
+brute force)."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hoopstat_haus_spark.lakehouse import queries as maintenance
+from hoopstat_haus_spark.operators import aggregations, joins, quality, scalars, setops, windows
+from hoopstat_haus_spark.similarity import ann
+from hoopstat_haus_spark.text import analysis, dedup
+
+MODULES = [aggregations, windows, joins, setops, scalars, quality, analysis, dedup, ann, maintenance]
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for m in MODULES:
+        overlap = set(out) & set(m.QUERIES)
+        assert not overlap, f"duplicate query names: {overlap}"
+        out.update(m.QUERIES)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for m in MODULES:
+        out.update(getattr(m, "ORACLE", {}))
+    return out

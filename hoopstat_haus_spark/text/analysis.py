@@ -1,0 +1,151 @@
+"""Text-analysis operators for a training-data pipeline over `documents`:
+language-ID heuristic, quality scoring, token counting, fingerprinting.
+
+All native Column expressions — at 100 TB these run inside whole-stage
+codegen with zero Python. (The reference's rules engine applies
+comparable per-record text normalization from YAML config,
+``libs/hoopstat-data/hoopstat_data/rules_engine.py:43-696``.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hoopstat_haus_spark.operators.common import load, round_stable
+
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "que", "y", "las"],
+}
+
+
+def word_count(text: Column) -> Column:
+    """Whitespace tokenization; empty text → 0."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, 0).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-flavored proxy: word-pieces + digits + punctuation marks each
+    count (regexp segmentation, not a trained merge table)."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]|[^\sA-Za-z0-9]"), F.lit(0)))
+
+
+def _stop_hits(text: Column, words: list[str]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), F.lit(0)))
+
+
+def lang_guess(text: Column) -> Column:
+    """n-gram/stopword-vote language ID; CJK presence short-circuits.
+    Deterministic tie-break: en > de > fr > es."""
+    votes = {lang: _stop_hits(text, ws) for lang, ws in _STOPWORDS.items()}
+    best = F.greatest(*votes.values())
+    return (
+        F.when(F.size(F.regexp_extract_all(text, F.lit(r"[一-鿿]"), F.lit(0))) > 0, "zh")
+        .when(best == 0, "unknown")
+        .when(votes["en"] == best, "en")
+        .when(votes["de"] == best, "de")
+        .when(votes["fr"] == best, "fr")
+        .otherwise("es")
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Length / punctuation-density / stopword-ratio composite in [0,1]."""
+    n_chars = F.length(text)
+    words = word_count(text)
+    punct = F.size(F.regexp_extract_all(text, F.lit(r"[.!?,;:]"), F.lit(0)))
+    stop = _stop_hits(text, _STOPWORDS["en"])
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    punct_ratio = punct / F.greatest(words, F.lit(1))
+    punct_score = F.when(punct_ratio > 0.5, 0.0).otherwise(1.0 - punct_ratio)
+    stop_score = F.least(stop / F.greatest(words, F.lit(1)) * 5.0, F.lit(1.0))
+    return round_stable(len_score * 0.4 + punct_score * 0.3 + stop_score * 0.3, 6)
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint over normalized text (alnum-only, lowered)."""
+    return F.md5(F.lower(F.regexp_replace(text, r"[^A-Za-z0-9]", "")))
+
+
+def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            word_count(F.col("text")).alias("n_words"),
+            bpe_ish_token_count(F.col("text")).alias("n_tokens"),
+            lang_guess(F.col("text")).alias("lang_guess"),
+            quality_score(F.col("text")).alias("quality"),
+            fingerprint(F.col("text")).alias("fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("source", quality_score(F.col("text")).alias("q"), word_count(F.col("text")).alias("w"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum(F.col("q").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_quality"
+            ),
+            F.sum("w").alias("total_words"),
+        )
+        .orderBy("source")
+    )
+
+
+_EN = r"\b(the|and|of|to|a)\b"
+_PUNCT = r"[.!?,;:]"
+_WORDS_SQL = "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+_STOP_SQL = f"len(regexp_extract_all(lower(text), '{_EN}'))"
+_PUNCT_SQL = f"len(regexp_extract_all(text, '{_PUNCT}'))"
+_QUALITY_SQL = f"""ROUND(
+    LEAST(length(text) / 500.0, 1.0) * 0.4
+    + (CASE WHEN {_PUNCT_SQL} * 1.0 / GREATEST({_WORDS_SQL}, 1) > 0.5 THEN 0.0
+            ELSE 1.0 - {_PUNCT_SQL} * 1.0 / GREATEST({_WORDS_SQL}, 1) END) * 0.3
+    + LEAST({_STOP_SQL} * 1.0 / GREATEST({_WORDS_SQL}, 1) * 5.0, 1.0) * 0.3 + 1e-9, 6)"""
+
+
+def _votes_sql(lang: str) -> str:
+    pat = r"\b(" + "|".join(_STOPWORDS[lang]) + r")\b"
+    return f"len(regexp_extract_all(lower(text), '{pat}'))"
+
+
+_LANG_SQL = f"""CASE
+    WHEN len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) > 0 THEN 'zh'
+    WHEN GREATEST({_votes_sql("en")}, {_votes_sql("de")}, {_votes_sql("fr")}, {_votes_sql("es")}) = 0 THEN 'unknown'
+    WHEN {_votes_sql("en")} = GREATEST({_votes_sql("en")}, {_votes_sql("de")}, {_votes_sql("fr")}, {_votes_sql("es")}) THEN 'en'
+    WHEN {_votes_sql("de")} = GREATEST({_votes_sql("en")}, {_votes_sql("de")}, {_votes_sql("fr")}, {_votes_sql("es")}) THEN 'de'
+    WHEN {_votes_sql("fr")} = GREATEST({_votes_sql("en")}, {_votes_sql("de")}, {_votes_sql("fr")}, {_votes_sql("es")}) THEN 'fr'
+    ELSE 'es' END"""
+
+ORACLE = {
+    "text_doc_profile": f"""
+        SELECT doc_id,
+               {_WORDS_SQL} AS n_words,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^\\sA-Za-z0-9]')) AS n_tokens,
+               {_LANG_SQL} AS lang_guess,
+               {_QUALITY_SQL} AS quality,
+               md5(lower(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))) AS fp
+        FROM documents ORDER BY doc_id
+    """,
+    "text_source_quality_rollup": f"""
+        SELECT source, COUNT(*) AS n_docs,
+               ROUND(CAST(SUM(CAST({_QUALITY_SQL} AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quality,
+               SUM({_WORDS_SQL}) AS total_words
+        FROM documents GROUP BY source ORDER BY source
+    """,
+}
+
+QUERIES = {
+    "text_doc_profile": doc_profile,
+    "text_source_quality_rollup": source_quality_rollup,
+}

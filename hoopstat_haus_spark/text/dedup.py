@@ -1,0 +1,263 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale notes (the reason each exists):
+
+- **exact**: hash-groupBy on a content digest. One shuffle of (digest,
+  doc_id) pairs — never the payload. At 100 TB the digest shuffle is
+  ~50 B/row.
+- **ngram-jaccard**: exact pairwise similarity via an inverted index
+  (explode distinct shingles → self-join on shingle). Quadratic in the
+  worst case — correct baseline, not the scale path.
+- **minhash-lsh**: the scale path. Signatures are computed with nested
+  higher-order functions (JVM-side xxhash64 — no Python), banded, and
+  candidates are found by a band-bucket join, so cost is ~linear in
+  corpus size for bounded bucket sizes. Candidates are then verified
+  with exact Jaccard. Banding math: P(candidate) = 1-(1-s^r)^b with
+  b=8 bands × r=4 rows — s50% threshold ≈ (1/b)^(1/r) ≈ 0.59.
+- **simhash**: 64-bit signature whose Hamming distance tracks cosine
+  similarity of the bag-of-words; near-dup candidates share at least one
+  of 4 exact-match 16-bit chunks (pigeonhole for distance ≤ 3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hoopstat_haus_spark.operators.common import load
+
+N_HASHES = 32
+N_BANDS = 8
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-grams as an array<string>."""
+    words = F.split(F.trim(F.lower(text)), r"\s+")
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i + 1, k), " "),
+    )
+    return F.array_distinct(F.when(n >= k, grams).otherwise(F.array(F.array_join(words, " "))))
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized-content digest; keeps min doc_id."""
+    d = load(spark, sf_dir, "documents")
+    digest = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return (
+        d.select(F.col("doc_id"), digest.alias("digest"))
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_doc_id", "n_copies")
+        .orderBy("keep_doc_id")
+    )
+
+
+def _pair_jaccard(docs: DataFrame) -> DataFrame:
+    """Inverted-index exact Jaccard over distinct word 3-grams."""
+    sh = docs.select("doc_id", F.explode(F.col("shingles")).alias("sh"))
+    sizes = docs.select("doc_id", F.size("shingles").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2"))
+    return (
+        inter.join(s1, "doc1")
+        .join(s2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.round(F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")), 6).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Top-k most similar doc pairs by exact word-3-gram Jaccard."""
+    d = load(spark, sf_dir, "documents").select("doc_id", word_shingles(F.col("text")).alias("shingles"))
+    pairs = _pair_jaccard(d)
+    w = Window.orderBy(F.desc("jaccard"), F.asc("doc1"), F.asc("doc2"))
+    return pairs.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k).orderBy("rnk")
+
+
+def minhash_signature(shingles: Column, n_hashes: int = N_HASHES) -> Column:
+    """array<long> MinHash signature — nested higher-order functions, all
+    JVM-side: sig[i] = min over shingles of xxhash64(shingle, seed_i)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(F.concat(s, F.lit("#"), i.cast("string"))))
+        ),
+    )
+
+
+def minhash_lsh_candidates(docs_with_shingles: DataFrame) -> DataFrame:
+    """Band-bucket join → candidate pairs (doc1 < doc2, distinct)."""
+    sig = docs_with_shingles.select(
+        "doc_id", minhash_signature(F.col("shingles")).alias("sig")
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.transform(
+                            F.slice(F.col("sig"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND),
+                            lambda x: x.cast("string"),
+                        ))
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+    """LSH candidates verified by exact Jaccard ≥ threshold.
+
+    No SQL oracle (xxhash64 banding isn't ANSI-SQL); the pytest suite
+    instead proves recall: every true pair ≥ threshold found by the
+    brute-force inverted index is also found here."""
+    d = load(spark, sf_dir, "documents").select("doc_id", word_shingles(F.col("text")).alias("shingles"))
+    cand = minhash_lsh_candidates(d)
+    verified = (
+        cand.join(d.select(F.col("doc_id").alias("doc1"), F.col("shingles").alias("sh1")), "doc1")
+        .join(d.select(F.col("doc_id").alias("doc2"), F.col("shingles").alias("sh2")), "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.round(
+                F.size(F.array_intersect("sh1", "sh2"))
+                / (F.size("sh1") + F.size("sh2") - F.size(F.array_intersect("sh1", "sh2"))),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.orderBy(F.desc("jaccard"), "doc1", "doc2")
+
+
+def simhash(words: Column) -> Column:
+    """64-bit SimHash as a native expression: bit b of the signature is
+    the sign of sum over words of (bit b of xxhash64(word) ? +1 : -1)."""
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda b: (
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h: acc + F.when(F.getbit(h, b) == 1, 1).otherwise(-1),
+            )
+            > 0
+        ).cast("int"),
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str, max_hamming: int = 6) -> DataFrame:
+    """SimHash near-dup pairs: 4×16-bit chunk banding → hamming verify."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", simhash(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("bits")
+    )
+    chunks = d.select(
+        "doc_id",
+        "bits",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda c: F.struct(
+                    c.alias("chunk"),
+                    F.concat_ws("", F.slice(F.col("bits"), c * 16 + 1, 16)).alias("sig"),
+                ),
+            )
+        ).alias("cc"),
+    ).select("doc_id", "bits", F.col("cc.chunk").alias("chunk"), F.col("cc.sig").alias("sig"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("a.bits").alias("bits1"),
+            F.col("b.bits").alias("bits2"),
+        )
+        .distinct()
+    )
+    hamming = F.aggregate(
+        F.zip_with("bits1", "bits2", lambda x, y: F.when(x != y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc1", "doc2", "hamming")
+        .orderBy("hamming", "doc1", "doc2")
+    )
+
+
+_SHINGLES_SQL = """(
+  SELECT doc_id, list_distinct([
+           array_to_string(words[i:i+2], ' ')
+           for i in range(1, GREATEST(len(words) - 2, 1) + 1)
+         ]) AS shingles
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words FROM documents)
+)"""
+
+ORACLE = {
+    "dedup_exact": """
+        SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+        FROM (SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS digest FROM documents)
+        GROUP BY digest ORDER BY keep_doc_id
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH sh AS (SELECT doc_id, unnest(shingles) AS s FROM {_SHINGLES_SQL} t),
+        sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM {_SHINGLES_SQL} t),
+        inter AS (
+          SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc1, doc2, jaccard, rnk FROM (
+          SELECT doc1, doc2,
+                 ROUND(CAST(n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - n_inter), 6) AS jaccard,
+                 ROW_NUMBER() OVER (ORDER BY ROUND(CAST(n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - n_inter), 6) DESC, doc1, doc2) AS rnk
+          FROM inter JOIN sizes s1 ON doc1 = s1.doc_id JOIN sizes s2 ON doc2 = s2.doc_id
+        ) WHERE rnk <= 20 ORDER BY rnk
+    """,
+}
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": ngram_jaccard_top_pairs,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+}
