@@ -1,0 +1,119 @@
+"""Maintenance-throughput bench, one parallelism level per process.
+
+Run as: ``python -m hoopstat_haus_spark.bench_maintenance --cpus N
+--docs M [--iters K]`` — prints ONE JSON line. bench.py invokes this at
+N and 4N to evidence the north rule's scaling criterion without a real
+cluster: same input, two local parallelism levels, efficiency =
+throughput(4N) / (4 × throughput(N)).
+
+Methodology (this sandbox's host throttles CPU stochastically, ~2-4×
+swings minute-to-minute):
+
+- the synthetic input table is created ONCE as an immutable template and
+  hardlink-cloned per iteration (compaction only adds/removes files, so
+  clones share data blocks safely);
+- each level runs K iterations in one JVM — iteration 1 doubles as
+  JIT/Python-worker warmup — and reports best-of-K (the code's
+  capability when the host isn't throttling; both levels are sampled
+  identically);
+- shuffle goes to tmpfs (``/dev/shm``, ephemeral, cleaned up) so the
+  single local disk doesn't serialize what a real cluster spreads over
+  many spindles; table data itself stays on disk. Disable with
+  SPARK_GRAFT_SHM_SHUFFLE=0.
+
+Timing covers the full maintenance cycle (plan → Z-order rewrite →
+manifest rewrite → snapshot commit), not input generation. Throughput
+is over parquet bytes in (compressed at rest).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+import uuid
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRATCH = os.path.join(REPO, ".scratch")
+
+
+def _clone_hardlink(src: str, dst: str) -> None:
+    for dirpath, _dirs, files in os.walk(src):
+        rel = os.path.relpath(dirpath, src)
+        os.makedirs(os.path.join(dst, rel) if rel != "." else dst, exist_ok=True)
+        for name in files:
+            os.link(os.path.join(dirpath, name), os.path.join(dst, rel, name))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, required=True)
+    ap.add_argument("--docs", type=int, default=1_600_000)
+    ap.add_argument("--target-mb", type=int, default=16)
+    ap.add_argument("--fragment-files", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
+
+    os.environ["SPARK_GRAFT_CPUS"] = str(args.cpus)
+    extra = {}
+    if os.environ.get("SPARK_GRAFT_SHM_SHUFFLE", "1") != "0" and os.path.isdir("/dev/shm"):
+        extra["spark.local.dir"] = f"/dev/shm/spark-graft-tmp-{os.getpid()}"
+
+    from hoopstat_haus_spark.lakehouse import CompactionPolicy, TokenLakeTable
+    from hoopstat_haus_spark.session import get_spark
+    from hoopstat_haus_spark.tables import synthetic
+
+    spark = get_spark(app_name=f"bench-maint-{args.cpus}", cpus=args.cpus, extra_conf=extra)
+    policy = CompactionPolicy(
+        min_file_bytes=(args.target_mb // 2) << 20,
+        target_file_bytes=args.target_mb << 20,
+        max_file_bytes=(args.target_mb * 4) << 20,
+    )
+
+    template = os.path.join(SCRATCH, f"bench-template-{args.docs}-{args.fragment_files}")
+    if not os.path.isdir(os.path.join(template, "_snapshots")):
+        shutil.rmtree(template, ignore_errors=True)
+        TokenLakeTable.create(
+            spark, template, synthetic(spark, args.docs), repartition_n=args.fragment_files
+        )
+        os.sync()
+
+    samples = []
+    gb_in = files_in = files_out = rows = 0
+    for _ in range(args.iters):
+        clone = os.path.join(SCRATCH, f"bench-run-{uuid.uuid4().hex[:8]}")
+        try:
+            _clone_hardlink(template, clone)
+            table = TokenLakeTable(spark, clone)
+            t0 = time.time()
+            _snap, metrics = table.compact(policy, max_concurrent_units=4)
+            wall = time.time() - t0
+            samples.append(round(wall, 3))
+            gb_in = metrics.bytes_in / 1e9
+            files_in, files_out, rows = metrics.files_in, metrics.files_out, metrics.rows
+        finally:
+            shutil.rmtree(clone, ignore_errors=True)
+
+    best = min(samples)
+    out = {
+        "cpus": args.cpus,
+        "docs": args.docs,
+        "files_in": files_in,
+        "files_out": files_out,
+        "gb_in": round(gb_in, 4),
+        "duration_s_samples": samples,
+        "duration_s": best,
+        "gb_per_hour": round(gb_in / (best / 3600.0), 2),
+        "rows_per_second": round(rows / best, 1),
+    }
+    print(json.dumps(out))
+    if "spark.local.dir" in extra:
+        shutil.rmtree(extra["spark.local.dir"], ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -41,6 +41,31 @@ from pyspark.sql import functions as F
 
 from hoopstat_haus_spark.lakehouse.zorder import with_zkey
 
+_ROUTE_REPS_CACHE: dict[int, list[int]] = {}
+
+
+def _route_reps(spark: SparkSession, n_out: int) -> list[int]:
+    """Representative longs r_i with pmod(murmur3_hash(r_i), n_out) == i.
+
+    ``df.repartition(n, key)`` hash-routes rows; routing the literal
+    r_bucket therefore lands each Z-range bucket in its OWN partition —
+    range-partitioned output without RangePartitioner's sampling job
+    (which re-reads full rows, tokens included, with no column pruning:
+    the dominant cost of a naive repartitionByRange rewrite)."""
+    if n_out in _ROUTE_REPS_CACHE:
+        return _ROUTE_REPS_CACHE[n_out]
+    rows = (
+        spark.range(0, max(n_out * 64, 256))
+        .select(F.col("id"), F.pmod(F.hash(F.col("id")), F.lit(n_out)).alias("p"))
+        .groupBy("p")
+        .agg(F.min("id").alias("rep"))
+        .collect()
+    )
+    reps = {r["p"]: r["rep"] for r in rows}
+    out = [int(reps[i]) for i in range(n_out)]
+    _ROUTE_REPS_CACHE[n_out] = out
+    return out
+
 
 @dataclass
 class CompactionPolicy:
@@ -145,7 +170,28 @@ def compact_partition(
     df = spark.read.option("basePath", data_dir).parquet(*abs_paths).drop("source", "_zkey")
     if strategy == "sort":
         df = with_zkey(df, curve=curve)
-        df = df.repartitionByRange(n_out, F.col("_zkey")).sortWithinPartitions("_zkey")
+        if n_out > 1:
+            # boundary estimation on a COLUMN-PRUNED scan: reads only
+            # (doc_id, n_tok) — a few % of bytes since `tokens` never loads
+            skinny = (
+                spark.read.option("basePath", data_dir)
+                .parquet(*abs_paths)
+                .select("doc_id", "n_tok")
+            )
+            skinny = with_zkey(skinny, curve=curve)
+            fracs = [i / n_out for i in range(1, n_out)]
+            bounds = skinny.agg(
+                F.percentile_approx("_zkey", F.array(*[F.lit(f) for f in fracs]), F.lit(5000))
+            ).collect()[0][0]
+            b_arr = F.array(*[F.lit(int(b)) for b in bounds])
+            bucket = F.aggregate(
+                b_arr, F.lit(0), lambda acc, b: acc + F.when(F.col("_zkey") > b, 1).otherwise(0)
+            )
+            reps = _route_reps(spark, n_out)
+            route = F.element_at(F.array(*[F.lit(r) for r in reps]), bucket + 1)
+            df = df.repartition(n_out, route.alias("_route")).sortWithinPartitions("_zkey")
+        else:
+            df = df.coalesce(1).sortWithinPartitions("_zkey")
     elif strategy == "binpack":
         # no clustering: salted even-byte split, no sort cost
         df = df.repartition(n_out, F.pmod(F.xxhash64("doc_id"), F.lit(n_out)))
@@ -170,7 +216,9 @@ def compact_partition(
         os.replace(os.path.join(staging, name), os.path.join(part_dir, final))
         new_rel.append(f"data/source={partition}/{final}")
         seq += 1
-    shutil.rmtree(os.path.join(table_path, ".staging", job_id), ignore_errors=True)
+    # remove only THIS unit's staging dir — other units of the job may
+    # still be writing under .staging/<job_id>/ concurrently
+    shutil.rmtree(staging, ignore_errors=True)
     return new_rel
 
 

@@ -158,6 +158,7 @@ class TokenLakeTable:
         curve: str = "zorder",
         strategy: str = "sort",
         job_id: str | None = None,
+        max_concurrent_units: int = 4,
     ) -> tuple[Snapshot | None, JobMetrics]:
         """Full compaction + Z-order cycle; resumable via ``job_id``.
 
@@ -165,6 +166,12 @@ class TokenLakeTable:
         with the same job_id skips finished partitions (their outputs are
         already staged into the data dirs) and commits ONE snapshot at
         the end. Crash anywhere → readers still see the old snapshot.
+
+        Units are submitted concurrently (``max_concurrent_units``
+        driver threads): Spark's scheduler interleaves their stages, so
+        small partitions fill task slots a big partition's tail leaves
+        idle — without this, per-source sequencing caps utilization at
+        each source's own partition count.
         """
         policy = policy or CompactionPolicy()
         job_id = job_id or f"compact-{uuid.uuid4().hex[:10]}"
@@ -179,18 +186,22 @@ class TokenLakeTable:
         done = ckpt.completed_units()
         rewritten: set[str] = set()
         new_files: list[str] = []
+        pending: list[tuple[str, list[dict]]] = []
         for part, groups in plans.items():
             inputs = [f for g in groups for f in g.files]
-            in_paths = [f["file_path"] for f in inputs]
-            rewritten.update(in_paths)
-            metrics.files_in += len(in_paths)
+            rewritten.update(f["file_path"] for f in inputs)
+            metrics.files_in += len(inputs)
             metrics.bytes_in += sum(f["file_bytes"] for f in inputs)
             metrics.rows += sum(f["row_count"] for f in inputs)
             metrics.tokens += sum(f["token_count"] for f in inputs)
             metrics.partitions += 1
             if part in done:
                 new_files.extend(done[part]["output_files"])
-                continue
+            else:
+                pending.append((part, inputs))
+
+        def _run_unit(part: str, inputs: list[dict]) -> list[str]:
+            in_paths = [f["file_path"] for f in inputs]
             t0 = time.time()
             ckpt.intent(part, in_paths)
             out = compact_partition(
@@ -212,7 +223,17 @@ class TokenLakeTable:
                 tokens=sum(f["token_count"] for f in inputs),
                 duration_s=time.time() - t0,
             )
-            new_files.extend(out)
+            return out
+
+        if pending:
+            from concurrent.futures import ThreadPoolExecutor
+
+            workers = max(1, min(max_concurrent_units, len(pending)))
+            # biggest partitions first: small ones backfill the tail
+            pending.sort(key=lambda pu: -sum(f["file_bytes"] for f in pu[1]))
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                for out in pool.map(lambda pu: _run_unit(*pu), pending):
+                    new_files.extend(out)
 
         new_entries = [e for e in entries if e["file_path"] not in rewritten]
         fresh = mf.compute_file_stats(self.spark, self.path, new_files)

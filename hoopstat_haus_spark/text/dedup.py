@@ -87,22 +87,38 @@ def ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str, k: int = 20) -> Da
     return pairs.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k).orderBy("rnk")
 
 
-def minhash_signature(shingles: Column, n_hashes: int = N_HASHES) -> Column:
-    """array<long> MinHash signature — nested higher-order functions, all
-    JVM-side: sig[i] = min over shingles of xxhash64(shingle, seed_i)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(shingles, lambda s: F.xxhash64(F.concat(s, F.lit("#"), i.cast("string"))))
-        ),
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, shingles) → (doc_id, sig: array<long>) MinHash signatures.
+
+    Shape matters: a nested ``transform(seq, i -> array_min(transform(
+    shingles, hash)))`` expression looks natural but Catalyst's project
+    collapsing inlines the shingle-hash subtree into the outer lambda, so
+    the string hashing runs n_hashes× per row — and nested higher-order
+    functions evaluate interpreted (measured 125 s for 5000 docs).
+    Instead: explode shingles, hash each ONCE, derive the i-th family by
+    integer-input xxhash64(h, i), then a single hash aggregation with
+    n_hashes MIN columns — whole-stage-codegen all the way, and the
+    shuffle carries only (doc_id, 32 longs).
+    sig[i] = min over shingles of xxhash64(xxhash64(shingle), i)."""
+    ex = docs.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", F.xxhash64("s").alias("h")
     )
+    mins = ex.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}") for i in range(n_hashes)]
+    )
+    return mins.select("doc_id", F.array(*[F.col(f"m{i}") for i in range(n_hashes)]).alias("sig"))
 
 
-def minhash_lsh_candidates(docs_with_shingles: DataFrame) -> DataFrame:
-    """Band-bucket join → candidate pairs (doc1 < doc2, distinct)."""
-    sig = docs_with_shingles.select(
-        "doc_id", minhash_signature(F.col("shingles")).alias("sig")
-    )
+def minhash_lsh_candidates(docs_with_shingles: DataFrame, max_bucket: int = 64) -> DataFrame:
+    """Band buckets → candidate pairs (doc1 < doc2, distinct).
+
+    Pairs are generated per bucket from a ``collect_list`` (one shuffle,
+    no self-join — the band table never materializes twice). Buckets
+    larger than ``max_bucket`` are dropped: a band value shared by that
+    many documents discriminates nothing (here: tiny-vocabulary corpora
+    make globally common shingles everyone's minimum), and keeping them
+    makes candidate generation quadratic — the standard LSH cap."""
+    sig = minhash_signatures(docs_with_shingles)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -120,18 +136,25 @@ def minhash_lsh_candidates(docs_with_shingles: DataFrame) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
-        .distinct()
+    groups = (
+        bands.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
+    pairs = groups.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda y: F.struct(x.alias("doc1"), y.alias("doc2")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select(F.col("p.doc1").alias("doc1"), F.col("p.doc2").alias("doc2")).distinct()
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:

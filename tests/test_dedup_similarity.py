@@ -1,0 +1,78 @@
+"""Correctness of the non-SQL-expressible ops (no DuckDB oracle):
+MinHash-LSH and SimHash dedup, and LSH ANN — each validated against its
+exact brute-force counterpart (recall), the standard way to test
+probabilistic indexes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hoopstat_haus_spark.operators.common import load
+from hoopstat_haus_spark.similarity.ann import brute_force_topk, lsh_topk
+from hoopstat_haus_spark.text.dedup import (
+    _pair_jaccard,
+    dedup_minhash_lsh,
+    dedup_simhash,
+    minhash_signatures,
+    word_shingles,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_minhash_lsh_finds_all_high_jaccard_pairs(spark):
+    """Every true pair with exact Jaccard ≥ 0.6 (well above the s50
+    threshold ≈0.59 of the 8×4 banding) must be recalled by LSH."""
+    d = load(spark, SF, "documents").select("doc_id", word_shingles(F.col("text")).alias("shingles"))
+    truth = {
+        (r["doc1"], r["doc2"])
+        for r in _pair_jaccard(d).filter(F.col("jaccard") >= 0.6).collect()
+    }
+    found = {
+        (r["doc1"], r["doc2"]) for r in dedup_minhash_lsh(spark, SF, threshold=0.5).collect()
+    }
+    assert truth, "fixture should contain at least one near-dup pair"
+    missing = truth - found
+    assert not missing, f"LSH missed {len(missing)}/{len(truth)} true pairs"
+
+
+def test_minhash_lsh_pairs_verified_no_false_positives(spark):
+    """Returned pairs carry exact Jaccard ≥ threshold (verification step)."""
+    rows = dedup_minhash_lsh(spark, SF, threshold=0.5).collect()
+    assert all(r["jaccard"] >= 0.5 for r in rows)
+    assert all(r["doc1"] < r["doc2"] for r in rows)
+
+
+def test_minhash_signature_shape_and_determinism(spark):
+    d = load(spark, SF, "documents").select("doc_id", word_shingles(F.col("text")).alias("shingles"))
+    a = {r["doc_id"]: tuple(r["sig"]) for r in minhash_signatures(d).collect()}
+    b = {r["doc_id"]: tuple(r["sig"]) for r in minhash_signatures(d).collect()}
+    assert a == b
+    assert all(len(s) == 32 for s in a.values())
+
+
+def test_simhash_close_pairs_have_close_bags(spark):
+    """SimHash pairs at hamming ≤ 6 should be word-bag similar: sanity
+    via exact jaccard of their shingle sets being above the corpus
+    median for a sample of pairs."""
+    pairs = dedup_simhash(spark, SF, max_hamming=3).limit(20).collect()
+    if not pairs:
+        pytest.skip("no simhash pairs at this threshold in fixture")
+    d = load(spark, SF, "documents").select("doc_id", word_shingles(F.col("text")).alias("shingles"))
+    jac = {(r["doc1"], r["doc2"]): r["jaccard"] for r in _pair_jaccard(d).collect()}
+    sims = [jac.get((p["doc1"], p["doc2"]), 0.0) for p in pairs]
+    assert sum(sims) / len(sims) > 0.1
+
+
+def test_lsh_ann_recall_vs_brute_force(spark):
+    truth = brute_force_topk(spark, SF, k=5).collect()
+    approx = lsh_topk(spark, SF, k=5).collect()
+    t_sets = {}
+    for r in truth:
+        t_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+    a_sets = {}
+    for r in approx:
+        a_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(t_sets[q] & a_sets.get(q, set())) / len(t_sets[q]) for q in t_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.4, f"mean recall too low: {recalls}"
