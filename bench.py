@@ -82,8 +82,10 @@ def run_maintenance_scaling() -> dict:
         line = proc.stdout.strip().splitlines()[-1]
         return json.loads(line)
 
-    lo = run(BENCH_N, 2)
-    hi = run(BENCH_N * 4, 3)
+    # lo first: if the host's CPU budget drains mid-bench, a throttled lo
+    # would inflate efficiency — this ordering biases conservative.
+    lo = run(BENCH_N, 3)
+    hi = run(BENCH_N * 4, 5)
     eff = hi["gb_per_hour"] / (4.0 * lo["gb_per_hour"]) if lo["gb_per_hour"] else 0.0
     return {
         "docs": BENCH_DOCS,
@@ -102,8 +104,10 @@ def run_maintenance_scaling() -> dict:
 
 def main() -> None:
     t0 = time.time()
-    queries = run_queries()
+    # maintenance first: it is the headline metric and the most
+    # CPU-sensitive — run it before the query phase heats the host
     maintenance = run_maintenance_scaling() if RUN_SCALING else {}
+    queries = run_queries()
     total = round(time.time() - t0, 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     result = {

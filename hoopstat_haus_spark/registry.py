@@ -12,11 +12,26 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from hoopstat_haus_spark.lakehouse import queries as maintenance
+from hoopstat_haus_spark.multimodal import binary_ops
 from hoopstat_haus_spark.operators import aggregations, joins, quality, scalars, setops, windows
 from hoopstat_haus_spark.similarity import ann
+from hoopstat_haus_spark.streaming import windows as streaming_windows
 from hoopstat_haus_spark.text import analysis, dedup
 
-MODULES = [aggregations, windows, joins, setops, scalars, quality, analysis, dedup, ann, maintenance]
+MODULES = [
+    aggregations,
+    windows,
+    joins,
+    setops,
+    scalars,
+    quality,
+    analysis,
+    dedup,
+    ann,
+    maintenance,
+    binary_ops,
+    streaming_windows,
+]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
