@@ -249,6 +249,28 @@ class TokenLakeTable:
         )
         return snap, metrics.finish()
 
+    # -------------------------------------- incremental planning (M8)
+    def changed_partitions_since(self, snapshot_id: int) -> dict[str, dict]:
+        """Snapshot-diff: which partitions gained/lost files since
+        ``snapshot_id`` — the engine's incremental-discovery primitive
+        (reference analog: lookback-window freshness checks,
+        ``apps/gold-analytics/app/s3_discovery.py:240-314``). Downstream
+        jobs re-derive ONLY these partitions instead of rescanning."""
+        old = {e["file_path"]: e for e in self.manifest_entries(snapshot_id)}
+        new = {e["file_path"]: e for e in self.manifest_entries()}
+        out: dict[str, dict] = {}
+        for path, e in new.items():
+            if path not in old:
+                d = out.setdefault(e["partition"], {"added_files": 0, "removed_files": 0, "row_delta": 0})
+                d["added_files"] += 1
+                d["row_delta"] += e["row_count"]
+        for path, e in old.items():
+            if path not in new:
+                d = out.setdefault(e["partition"], {"added_files": 0, "removed_files": 0, "row_delta": 0})
+                d["removed_files"] += 1
+                d["row_delta"] -= e["row_count"]
+        return out
+
     # ---------------------------------------------- maintenance: expiry
     def expire_snapshots(self, keep_last: int = 2) -> list[int]:
         return self.log.expire(keep_last)

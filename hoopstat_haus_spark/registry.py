@@ -11,10 +11,21 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from hoopstat_haus_spark.functions import rules_engine
 from hoopstat_haus_spark.lakehouse import queries as maintenance
 from hoopstat_haus_spark.multimodal import binary_ops
-from hoopstat_haus_spark.operators import aggregations, joins, quality, scalars, setops, windows
+from hoopstat_haus_spark.operators import (
+    aggregations,
+    derived,
+    grouped,
+    joins,
+    quality,
+    scalars,
+    setops,
+    windows,
+)
 from hoopstat_haus_spark.similarity import ann
+from hoopstat_haus_spark.sources import formats
 from hoopstat_haus_spark.streaming import windows as streaming_windows
 from hoopstat_haus_spark.text import analysis, dedup
 
@@ -25,12 +36,16 @@ MODULES = [
     setops,
     scalars,
     quality,
+    grouped,
+    derived,
     analysis,
     dedup,
     ann,
     maintenance,
     binary_ops,
     streaming_windows,
+    rules_engine,
+    formats,
 ]
 
 
