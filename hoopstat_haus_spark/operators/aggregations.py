@@ -121,7 +121,27 @@ def events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rollup_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-set surface the reference lacks (SURVEY §2.4: 'No
+    grouping sets / cube / rollup'): ROLLUP over (priority, status) with
+    NULL-marked subtotal rows."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total"))
+        .orderBy(
+            F.col("o_orderpriority").asc_nulls_first(), F.col("o_orderstatus").asc_nulls_first()
+        )
+    )
+
+
 ORACLE = {
+    "agg_rollup_priority_status": """
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
     "agg_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
@@ -177,6 +197,7 @@ ORACLE = {
 }
 
 QUERIES = {
+    "agg_rollup_priority_status": rollup_priority_status,
     "agg_pricing_summary": pricing_summary,
     "agg_conditional_splits": conditional_splits,
     "agg_monthly_splits": monthly_splits,

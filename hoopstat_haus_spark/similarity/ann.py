@@ -127,6 +127,55 @@ def lsh_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k).orderBy("q_id", "rnk")
 
 
+def embedding_near_dups(spark: SparkSession, sf_dir: str, threshold: float = 0.93) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup for vector corpora):
+    LSH-bucketed candidates verified by exact cosine ≥ threshold. At
+    corpus scale only bucket-mates pair up; the oracle brute-forces the
+    500-vector fixture to prove no pair above threshold is missed AND
+    none below sneaks in — i.e., it checks recall, not just precision
+    (possible here because at fixture scale brute force is exact truth;
+    at 100 TB only the LSH path runs)."""
+    emb = load(spark, sf_dir, "embeddings")
+    n_planes, n_bands = 16, 8  # r=2 rows/band → s50 ≈ very permissive, high recall
+    rows_per_band = n_planes // n_bands
+    sig = lsh_signature(F.col("embedding"), 64, n_planes)
+    banded = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.substring(sig, b * rows_per_band + 1, rows_per_band).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("vec_id", "embedding", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            F.col("a.embedding").alias("e1"),
+            F.col("b.embedding").alias("e2"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select("id1", "id2", F.round(cosine(F.col("e1"), F.col("e2")), 6).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .orderBy("id1", "id2")
+    )
+
+
 _COS_SQL = """
   list_sum(list_transform(list_zip(q.embedding, c.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
   / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
@@ -142,9 +191,16 @@ ORACLE = {
           FROM embeddings q JOIN embeddings c ON q.vec_id % 100 = 0 AND c.vec_id != q.vec_id
         ) WHERE rnk <= 5 ORDER BY q_id, rnk
     """,
+    "dedup_embedding_cosine": f"""
+        SELECT q.vec_id AS id1, c.vec_id AS id2, ROUND({_COS_SQL}, 6) AS cos
+        FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
+        WHERE ROUND({_COS_SQL}, 6) >= 0.93
+        ORDER BY id1, id2
+    """,
 }
 
 QUERIES = {
     "ann_brute_force_topk": brute_force_topk,
     "ann_lsh_topk": lsh_topk,
+    "dedup_embedding_cosine": embedding_near_dups,
 }

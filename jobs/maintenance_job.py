@@ -1,0 +1,138 @@
+"""spark-submit entry point for the maintenance engine.
+
+Ship as:
+
+    python jobs/build_pyfiles.py                       # → dist/hoopstat_haus_spark.zip
+    spark-submit --py-files dist/hoopstat_haus_spark.zip \\
+        jobs/maintenance_job.py compact \\
+        --table /data/tokens --target-mb 128 --curve zorder --job-id nightly-42
+
+Subcommands:
+    compact   bin-pack + Z-order/Hilbert rewrite (resumable via --job-id)
+    merge     MERGE INTO from an updates parquet path
+    expire    snapshot expiry + reachability GC
+    stats     print current snapshot summary + per-partition manifest rollup
+
+On a cluster the session comes from spark-submit's conf; local runs fall
+back to the tuned local factory. Every job prints one JSON metrics line
+(the reference's performance-log contract, ``apps/gold-analytics/app/
+performance.py``)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark():
+    try:
+        from pyspark.sql import SparkSession
+
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            return active
+    except Exception:
+        pass
+    from hoopstat_haus_spark.session import get_spark
+
+    return get_spark(app_name="maintenance-job")
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="maintenance_job")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("compact")
+    c.add_argument("--table", required=True)
+    c.add_argument("--target-mb", type=int, default=128)
+    c.add_argument("--curve", choices=["zorder", "hilbert"], default="zorder")
+    c.add_argument("--strategy", choices=["sort", "binpack"], default="sort")
+    c.add_argument("--job-id", default=None, help="reuse to resume a crashed run")
+    c.add_argument("--concurrent-units", type=int, default=4)
+
+    m = sub.add_parser("merge")
+    m.add_argument("--table", required=True)
+    m.add_argument("--updates", required=True, help="parquet path with (doc_id, tokens, n_tok, source[, _op])")
+    m.add_argument("--job-id", default=None)
+
+    e = sub.add_parser("expire")
+    e.add_argument("--table", required=True)
+    e.add_argument("--keep-last", type=int, default=2)
+    e.add_argument("--dry-run", action="store_true")
+
+    s = sub.add_parser("stats")
+    s.add_argument("--table", required=True)
+
+    args = ap.parse_args(argv)
+    spark = _spark()
+
+    from hoopstat_haus_spark.lakehouse import CompactionPolicy, TokenLakeTable
+
+    table = TokenLakeTable(spark, args.table)
+
+    if args.cmd == "compact":
+        policy = CompactionPolicy(
+            min_file_bytes=(args.target_mb // 4) << 20,
+            target_file_bytes=args.target_mb << 20,
+            max_file_bytes=(args.target_mb * 2) << 20,
+        )
+        snap, metrics = table.compact(
+            policy,
+            curve=args.curve,
+            strategy=args.strategy,
+            job_id=args.job_id,
+            max_concurrent_units=args.concurrent_units,
+        )
+        out = metrics.to_dict()
+        out["snapshot"] = snap.snapshot_id if snap else None
+        print(json.dumps(out))
+    elif args.cmd == "merge":
+        from hoopstat_haus_spark.lakehouse.merge import merge_into
+
+        updates = spark.read.parquet(args.updates)
+        snap, metrics = merge_into(table, updates, job_id=args.job_id)
+        out = metrics.to_dict()
+        out["snapshot"] = snap.snapshot_id
+        print(json.dumps(out))
+    elif args.cmd == "expire":
+        expired = table.expire_snapshots(keep_last=args.keep_last)
+        from hoopstat_haus_spark.lakehouse.gc import collect_garbage
+
+        report = collect_garbage(table.path, dry_run=args.dry_run)
+        print(
+            json.dumps(
+                {
+                    "expired_snapshots": expired,
+                    "removed_data_files": len(report["removed_data_files"]),
+                    "removed_manifests": len(report["removed_manifests"]),
+                    "reachable_files": report["reachable_files"],
+                    "dry_run": args.dry_run,
+                }
+            )
+        )
+    elif args.cmd == "stats":
+        snap = table.log.current()
+        entries = table.manifest_entries()
+        per_part: dict[str, dict] = {}
+        for en in entries:
+            d = per_part.setdefault(en["partition"], {"files": 0, "rows": 0, "bytes": 0, "tokens": 0})
+            d["files"] += 1
+            d["rows"] += en["row_count"]
+            d["bytes"] += en["file_bytes"]
+            d["tokens"] += en["token_count"]
+        print(
+            json.dumps(
+                {
+                    "snapshot": snap.snapshot_id if snap else None,
+                    "operation": snap.operation if snap else None,
+                    "summary": snap.summary if snap else {},
+                    "partitions": per_part,
+                }
+            )
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

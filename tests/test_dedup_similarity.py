@@ -76,3 +76,27 @@ def test_lsh_ann_recall_vs_brute_force(spark):
         len(t_sets[q] & a_sets.get(q, set())) / len(t_sets[q]) for q in t_sets
     ]
     assert sum(recalls) / len(recalls) >= 0.4, f"mean recall too low: {recalls}"
+
+
+def test_embedding_near_dup_finds_planted_duplicates(spark, tmp_path):
+    """The fixture corpus has no true near-dups (max pairwise cosine
+    ≈0.51), so plant some: copy vectors with a tiny perturbation and
+    assert the LSH-bucketed detector recovers every planted pair."""
+    import pyspark.sql.functions as FF
+
+    from hoopstat_haus_spark.similarity.ann import embedding_near_dups
+
+    emb = load(spark, SF, "embeddings")
+    planted = (
+        emb.filter(FF.col("vec_id") % 50 == 0)
+        .select(
+            (FF.col("vec_id") + 10000).alias("vec_id"),
+            FF.transform("embedding", lambda x: x * FF.lit(1.001)).alias("embedding"),
+            FF.col("label"),
+        )
+    )
+    out = str(tmp_path / "emb")
+    emb.unionByName(planted).write.parquet(f"{out}/embeddings.parquet")
+    pairs = {(r["id1"], r["id2"]) for r in embedding_near_dups(spark, out, threshold=0.99).collect()}
+    expected = {(i, i + 10000) for i in range(0, 500, 50)}
+    assert expected <= pairs, f"missed planted dups: {expected - pairs}"
