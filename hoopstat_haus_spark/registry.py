@@ -26,6 +26,7 @@ from hoopstat_haus_spark.operators import (
 )
 from hoopstat_haus_spark.similarity import ann
 from hoopstat_haus_spark.sources import formats
+from hoopstat_haus_spark.streaming import sessionize
 from hoopstat_haus_spark.streaming import windows as streaming_windows
 from hoopstat_haus_spark.text import analysis, dedup
 
@@ -44,6 +45,7 @@ MODULES = [
     maintenance,
     binary_ops,
     streaming_windows,
+    sessionize,
     rules_engine,
     formats,
 ]

@@ -1,0 +1,156 @@
+"""Sessionization: gap-based session assignment, batch and stateful-stream.
+
+- :func:`batch_sessions` — lag/cumsum window idiom (one shuffle by user,
+  one sort within); ANSI-SQL-expressible → DuckDB oracle.
+- :func:`stream_session_counts` — the custom stateful streaming operator
+  the engine offers where built-ins can't express the semantics:
+  ``applyInPandasWithState`` carrying (last_ts, open session count) per
+  user across micro-batches. Tested by splitting the events table into
+  time-ordered files and running one file per trigger: the final counts
+  must equal the batch computation — state MUST survive batch
+  boundaries for that to hold.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from hoopstat_haus_spark.operators.common import load
+
+GAP_MINUTES = 60
+
+
+def batch_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions: a row starts a new session when it is more
+    than GAP_MINUTES after the previous event."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = GAP_MINUTES * 60
+    # parquet ts is TIMESTAMP_NTZ: hop through LTZ for epoch seconds
+    # (session timezone is UTC, so the hop is identity — matches duckdb epoch())
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    new_session = (epoch - F.lag(epoch).over(w) > gap_s).cast("int")
+    sess = e.withColumn("new_s", F.coalesce(new_session, F.lit(1))).withColumn(
+        "session_id", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def session_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        batch_sessions(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+def stream_session_counts(
+    spark: SparkSession, source_dir: str, checkpoint_dir: str, out_dir: str
+):
+    """Stateful session counting across micro-batches (update mode →
+    parquet via foreachBatch; the test reads the latest row per user)."""
+    gap_s = GAP_MINUTES * 60
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_ts, n_sessions, n_events = state.get
+        else:
+            last_ts, n_sessions, n_events = None, 0, 0
+        for b in batches:
+            b = b.sort_values(["ts", "event_id"])
+            for ts in b["ts"]:
+                t = ts.timestamp()
+                if last_ts is None or t - last_ts > gap_s:
+                    n_sessions += 1
+                last_ts = t
+                n_events += 1
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+        )
+
+    src = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    counts = src.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_sessions long, n_events long",
+        stateStructType="last_ts double, n_sessions long, n_events long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out_dir)
+
+    return (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+ORACLE = {
+    "sessionize_batch": f"""
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+        FROM (
+          SELECT user_id, ts,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             > {GAP_MINUTES * 60} OR
+                             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+          )
+        ) GROUP BY user_id, session_id ORDER BY user_id, session_id
+    """,
+    "sessionize_user_counts": f"""
+        SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events FROM (
+          SELECT user_id, session_id, COUNT(*) AS n_events FROM (
+            SELECT user_id,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                               > {GAP_MINUTES * 60} OR
+                               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+            )
+          ) GROUP BY user_id, session_id
+        ) GROUP BY user_id ORDER BY user_id
+    """,
+}
+
+QUERIES = {
+    "sessionize_batch": batch_sessions,
+    "sessionize_user_counts": session_counts_batch,
+}
