@@ -76,13 +76,20 @@ def main() -> None:
     template = os.path.join(SCRATCH, f"bench-template-{args.docs}-{args.fragment_files}")
     if not os.path.isdir(os.path.join(template, "_snapshots")):
         shutil.rmtree(template, ignore_errors=True)
-        TokenLakeTable.create(
-            spark, template, synthetic(spark, args.docs), repartition_n=args.fragment_files
-        )
+        # the fragmented input simulates raw ingest output: snappy, like
+        # most ingest paths — compaction re-encodes to the engine's zstd
+        # (one of the things maintenance is FOR; ~4× smaller at rest)
+        spark.conf.set("spark.sql.parquet.compression.codec", "snappy")
+        try:
+            TokenLakeTable.create(
+                spark, template, synthetic(spark, args.docs), repartition_n=args.fragment_files
+            )
+        finally:
+            spark.conf.set("spark.sql.parquet.compression.codec", "zstd")
         os.sync()
 
     samples = []
-    gb_in = files_in = files_out = rows = 0
+    gb_in = gb_out = files_in = files_out = rows = tokens = 0
     for _ in range(args.iters):
         clone = os.path.join(SCRATCH, f"bench-run-{uuid.uuid4().hex[:8]}")
         try:
@@ -93,7 +100,9 @@ def main() -> None:
             wall = time.time() - t0
             samples.append(round(wall, 3))
             gb_in = metrics.bytes_in / 1e9
-            files_in, files_out, rows = metrics.files_in, metrics.files_out, metrics.rows
+            gb_out = metrics.bytes_out / 1e9
+            files_in, files_out = metrics.files_in, metrics.files_out
+            rows, tokens = metrics.rows, metrics.tokens
         finally:
             shutil.rmtree(clone, ignore_errors=True)
 
@@ -104,10 +113,12 @@ def main() -> None:
         "files_in": files_in,
         "files_out": files_out,
         "gb_in": round(gb_in, 4),
+        "gb_out": round(gb_out, 4),  # zstd re-encode: ~4× smaller at rest
         "duration_s_samples": samples,
         "duration_s": best,
         "gb_per_hour": round(gb_in / (best / 3600.0), 2),
         "rows_per_second": round(rows / best, 1),
+        "tokens_per_second": round(tokens / best, 1),
     }
     print(json.dumps(out))
     if "spark.local.dir" in extra:
