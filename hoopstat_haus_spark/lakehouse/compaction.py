@@ -188,7 +188,10 @@ def compact_partition(
                 b_arr, F.lit(0), lambda acc, b: acc + F.when(F.col("_zkey") > b, 1).otherwise(0)
             )
             reps = _route_reps(spark, n_out)
-            route = F.element_at(F.array(*[F.lit(r) for r in reps]), bucket + 1)
+            # reps MUST stay LongType: HashPartitioning is Murmur3 over the
+            # column's physical type, and murmur3(int32 x) != murmur3(int64 x)
+            # — int literals here silently randomize the bucket→partition map
+            route = F.element_at(F.array(*[F.lit(r).cast("long") for r in reps]), bucket + 1)
             df = df.repartition(n_out, route.alias("_route")).sortWithinPartitions("_zkey")
         else:
             df = df.coalesce(1).sortWithinPartitions("_zkey")
