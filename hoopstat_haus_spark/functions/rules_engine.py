@@ -13,6 +13,8 @@ Config shape (plain dicts — YAML-loadable, no YAML dependency):
     rules = {
       "column_name": [
         {"op": "map_values",  "mapping": {...}, "default": "keep"|value},
+        {"op": "fuzzy_map",   "choices": [...], "min_ratio": r,
+                              "default": "keep"|value},
         {"op": "fill_null",   "value": v},
         {"op": "clamp",       "lo": x, "hi": y},
         {"op": "strip_collapse_ws"},
@@ -22,6 +24,14 @@ Config shape (plain dicts — YAML-loadable, no YAML dependency):
       ],
       ...
     }
+
+``fuzzy_map`` is the reference's fuzzywuzzy-fallback standardization
+(``rules_engine.py:17,86-130``) re-expressed as a native Levenshtein
+expression: similarity(col, choice) = 1 − lev(lower(col), lower(choice))
+/ max(len(col), len(choice), 1); the column maps to the FIRST choice (in
+list order — the deterministic tie-break) achieving the maximal
+similarity, provided that similarity ≥ ``min_ratio``; otherwise the
+default applies. All JVM-side codegen — no pandas UDF needed.
 
 Rules for one column apply in order (fold), mirroring the reference's
 rule-priority semantics.
@@ -40,6 +50,23 @@ def _apply_rule(col: Column, rule: dict) -> Column:
         for k, v in rule["mapping"].items():
             cond = col == F.lit(k)
             out = F.when(cond, F.lit(v)) if out is None else out.when(cond, F.lit(v))
+        default = rule.get("default", "keep")
+        return out.otherwise(col if default == "keep" else F.lit(default))
+    if op == "fuzzy_map":
+        choices = rule["choices"]
+        min_ratio = rule["min_ratio"]
+        low = F.lower(col)
+        sims = [
+            F.lit(1.0)
+            - F.levenshtein(low, F.lit(c.lower()))
+            / F.greatest(F.length(col), F.lit(len(c)), F.lit(1))
+            for c in choices
+        ]
+        best = F.greatest(*sims) if len(sims) > 1 else sims[0]
+        out = None
+        for c, s in zip(choices, sims):
+            cond = (s == best) & (best >= F.lit(min_ratio))
+            out = F.when(cond, F.lit(c)) if out is None else out.when(cond, F.lit(c))
         default = rule.get("default", "keep")
         return out.otherwise(col if default == "keep" else F.lit(default))
     if op == "fill_null":
@@ -106,7 +133,58 @@ def rules_cleaned_orders(spark, sf_dir: str) -> DataFrame:
     )
 
 
+_NATIONS = [f"NATION_{i}" for i in range(25)]
+
+
+def fuzzy_nation_names(spark, sf_dir: str) -> DataFrame:
+    """Gate for the fuzzy_map op: deterministically typo a third of the
+    nation names (insert 'X' after char 3 when key % 3 = 0), then fuzzy-
+    restore them against the canonical choice list. Every row must come
+    back to its canonical name (typo sim ≈ 0.89-0.9 ≥ 0.8; the nearest
+    wrong choice scores ≤ 0.8 and loses the argmax)."""
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    typo = F.when(
+        F.col("n_nationkey") % 3 == 0,
+        F.concat(F.substring("n_name", 1, 3), F.lit("X"), F.expr("substring(n_name, 4)")),
+    ).otherwise(F.col("n_name"))
+    df = n.select("n_nationkey", typo.alias("raw_name"), typo.alias("fixed_name"))
+    cleaned = apply_rules(
+        df, {"fixed_name": [{"op": "fuzzy_map", "choices": _NATIONS, "min_ratio": 0.8}]}
+    )
+    return cleaned.select(
+        F.col("n_nationkey").alias("nationkey"), "raw_name", "fixed_name"
+    ).orderBy("nationkey")
+
+
+def fuzzy_map_sql(col: str, choices: list[str], min_ratio: float, default: str = "keep") -> str:
+    """ANSI/DuckDB SQL mirror of the fuzzy_map rule (for oracles)."""
+    sims = [
+        f"(1.0 - CAST(levenshtein(lower({col}), '{c.lower()}') AS DOUBLE)"
+        f" / GREATEST(length({col}), {len(c)}, 1))"
+        for c in choices
+    ]
+    best = f"GREATEST({', '.join(sims)})"
+    whens = " ".join(
+        f"WHEN {s} = {best} AND {best} >= {min_ratio} THEN '{c}'"
+        for c, s in zip(choices, sims)
+    )
+    dflt = col if default == "keep" else f"'{default}'"
+    return f"CASE {whens} ELSE {dflt} END"
+
+
 ORACLE = {
+    "rules_fuzzy_nation_names": f"""
+        WITH t AS (
+          SELECT n_nationkey,
+                 CASE WHEN n_nationkey % 3 = 0
+                      THEN substr(n_name, 1, 3) || 'X' || substr(n_name, 4)
+                      ELSE n_name END AS raw_name
+          FROM nation
+        )
+        SELECT n_nationkey AS nationkey, raw_name,
+               {fuzzy_map_sql("raw_name", _NATIONS, 0.8)} AS fixed_name
+        FROM t ORDER BY nationkey
+    """,
     "rules_cleaned_orders": """
         SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
                ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
@@ -125,4 +203,5 @@ ORACLE = {
 
 QUERIES = {
     "rules_cleaned_orders": rules_cleaned_orders,
+    "rules_fuzzy_nation_names": fuzzy_nation_names,
 }

@@ -166,7 +166,7 @@ ORACLE = {
     # IS derivable: counts, byte totals, distinct md5 heads.
     "mm_media_feature_rollup_facets": """
         SELECT media_type, COUNT(*) AS n_docs,
-               SUM(n_chars) AS total_bytes,
+               CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
                COUNT(DISTINCT substr(md5(text), 1, 32)) AS distinct_heads
         FROM (
           SELECT doc_id, text, n_chars,

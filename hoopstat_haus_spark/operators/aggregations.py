@@ -160,7 +160,7 @@ ORACLE = {
     "agg_conditional_splits": """
         SELECT o_orderpriority,
                COUNT(*) AS n_orders,
-               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_fulfilled,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_fulfilled,
                ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
                ROUND(CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS fulfillment_rate
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
@@ -182,7 +182,7 @@ ORACLE = {
     "agg_segment_standings": """
         SELECT c_mktsegment,
                COUNT(*) AS n_customers,
-               SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS n_positive_bal,
+               CAST(SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive_bal,
                ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_bal
         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,

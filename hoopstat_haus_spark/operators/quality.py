@@ -57,6 +57,43 @@ def iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def zscore_outliers(spark: SparkSession, sf_dir: str, z: float = 3.0) -> DataFrame:
+    """Q2 (z-score mode): |x - mean| / stddev_samp > z, reference
+    ``quality.py:107-120`` (``statistics.stdev`` = sample stddev).
+
+    Determinism: mean and variance derive from EXACT decimal sums
+    (Σx, Σx² — order-independent), cast to double only at the end, so
+    both engines compute bit-identical z-scores. The fixture's totalprice
+    is uniform (max |z| ≈ 1.73), so outliers are injected
+    deterministically (every 997th order ×7) — the logic, not the luck,
+    is under test (same convention as :func:`_with_gaps`)."""
+    o = load(spark, sf_dir, "orders").withColumn(
+        "price",
+        F.when(F.col("o_orderkey") % 997 == 0, F.col("o_totalprice") * 7).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    x = F.col("price").cast("decimal(18,2)")
+    stats = o.agg(
+        F.sum(x).cast("double").alias("s"),
+        F.sum(x * x).cast("double").alias("ss"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    j = o.crossJoin(F.broadcast(stats))
+    mean = F.col("s") / F.col("n")
+    sd = F.sqrt((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1))
+    zsc = F.abs((F.col("price") - mean) / sd)
+    return (
+        j.filter(zsc > z)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.round("price", 2).alias("totalprice"),
+            F.round(zsc + F.lit(1e-9), 6).alias("zscore"),
+        )
+        .orderBy("orderkey")
+    )
+
+
 def consistency_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3: impossible-stat predicates, counted per group (quality.py:129-182)."""
     li = load(spark, sf_dir, "lineitem")
@@ -123,11 +160,28 @@ ORACLE = {
         WHERE o_totalprice < q1 - 1.5*(q3-q1) OR o_totalprice > q3 + 1.5*(q3-q1)
         ORDER BY orderkey
     """,
+    "q_zscore_outliers": """
+        WITH o AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 997 = 0 THEN o_totalprice * 7 ELSE o_totalprice END AS price
+          FROM orders
+        ), s AS (
+          SELECT CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS s,
+                 CAST(SUM(CAST(price AS DECIMAL(18,2)) * CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS ss,
+                 CAST(COUNT(*) AS DOUBLE) AS n
+          FROM o
+        )
+        SELECT o_orderkey AS orderkey, ROUND(price, 2) AS totalprice,
+               ROUND(ABS((price - s/n) / sqrt((ss - s*s/n) / (n-1))) + 1e-9, 6) AS zscore
+        FROM o, s
+        WHERE ABS((price - s/n) / sqrt((ss - s*s/n) / (n-1))) > 3.0
+        ORDER BY orderkey
+    """,
     "q_consistency_violations": """
         SELECT l_returnflag,
-               SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS nonpositive_qty,
-               SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS bad_discount,
-               SUM(CASE WHEN l_extendedprice < l_quantity THEN 1 ELSE 0 END) AS price_below_qty
+               CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_qty,
+               CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount,
+               CAST(SUM(CASE WHEN l_extendedprice < l_quantity THEN 1 ELSE 0 END) AS BIGINT) AS price_below_qty
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     "q_quality_score": f"""
@@ -146,6 +200,7 @@ ORACLE = {
 QUERIES = {
     "q_completeness": completeness,
     "q_iqr_outliers": iqr_outliers,
+    "q_zscore_outliers": zscore_outliers,
     "q_consistency_violations": consistency_violations,
     "q_quality_score": quality_score,
 }

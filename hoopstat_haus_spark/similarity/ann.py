@@ -127,15 +127,31 @@ def lsh_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k).orderBy("q_id", "rnk")
 
 
+def plant_scaled_dups(emb: DataFrame, every: int = 100, scale: float = 1.5) -> DataFrame:
+    """Union deterministic planted near-duplicates: every ``every``-th
+    vector re-enters with vec_id+10M and each component scaled by
+    ``scale``. Cosine is scale-invariant, so each planted copy has
+    cosine ≈ 1.0 with its source AND (positive scaling preserves the
+    sign of every hyperplane projection) lands in exactly the same LSH
+    buckets — the gate provably exercises the candidate→verify path
+    instead of passing vacuously on a dup-free fixture."""
+    planted = emb.filter(F.col("vec_id") % every == 0).select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(scale)).cast("float")).alias("embedding"),
+    )
+    return emb.select("vec_id", "embedding").unionByName(planted)
+
+
 def embedding_near_dups(spark: SparkSession, sf_dir: str, threshold: float = 0.93) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup for vector corpora):
     LSH-bucketed candidates verified by exact cosine ≥ threshold. At
     corpus scale only bucket-mates pair up; the oracle brute-forces the
-    500-vector fixture to prove no pair above threshold is missed AND
-    none below sneaks in — i.e., it checks recall, not just precision
-    (possible here because at fixture scale brute force is exact truth;
-    at 100 TB only the LSH path runs)."""
-    emb = load(spark, sf_dir, "embeddings")
+    fixture (plus planted dups, see :func:`plant_scaled_dups`) to prove
+    no pair above threshold is missed AND none below sneaks in — i.e.,
+    it checks recall, not just precision (possible here because at
+    fixture scale brute force is exact truth; at 100 TB only the LSH
+    path runs, without planting)."""
+    emb = plant_scaled_dups(load(spark, sf_dir, "embeddings"))
     n_planes, n_bands = 16, 8  # r=2 rows/band → s50 ≈ very permissive, high recall
     rows_per_band = n_planes // n_bands
     sig = lsh_signature(F.col("embedding"), 64, n_planes)
@@ -192,8 +208,15 @@ ORACLE = {
         ) WHERE rnk <= 5 ORDER BY q_id, rnk
     """,
     "dedup_embedding_cosine": f"""
+        WITH corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 10000000 AS vec_id,
+                 list_transform(embedding, x -> CAST(x * 1.5 AS FLOAT)) AS embedding
+          FROM embeddings WHERE vec_id % 100 = 0
+        )
         SELECT q.vec_id AS id1, c.vec_id AS id2, ROUND({_COS_SQL}, 6) AS cos
-        FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
+        FROM corpus q JOIN corpus c ON q.vec_id < c.vec_id
         WHERE ROUND({_COS_SQL}, 6) >= 0.93
         ORDER BY id1, id2
     """,

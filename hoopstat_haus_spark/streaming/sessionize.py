@@ -114,7 +114,7 @@ def stream_session_counts(
 
 ORACLE = {
     "sessionize_batch": f"""
-        SELECT user_id, session_id, COUNT(*) AS n_events,
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
                strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
                strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
         FROM (
@@ -132,7 +132,7 @@ ORACLE = {
         ) GROUP BY user_id, session_id ORDER BY user_id, session_id
     """,
     "sessionize_user_counts": f"""
-        SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events FROM (
+        SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n_events) AS BIGINT) AS n_events FROM (
           SELECT user_id, session_id, COUNT(*) AS n_events FROM (
             SELECT user_id,
                    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id

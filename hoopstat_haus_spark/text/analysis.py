@@ -140,7 +140,7 @@ ORACLE = {
     "text_source_quality_rollup": f"""
         SELECT source, COUNT(*) AS n_docs,
                ROUND(CAST(SUM(CAST({_QUALITY_SQL} AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quality,
-               SUM({_WORDS_SQL}) AS total_words
+               CAST(SUM({_WORDS_SQL}) AS BIGINT) AS total_words
         FROM documents GROUP BY source ORDER BY source
     """,
 }

@@ -80,11 +80,19 @@ def _pair_jaccard(docs: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
-    """Top-k most similar doc pairs by exact word-3-gram Jaccard."""
+    """Top-k most similar doc pairs by exact word-3-gram Jaccard.
+
+    The ordering is total ((jaccard desc, doc1, doc2) — pair keys are
+    unique), so a ``orderBy().limit(10·k)`` pre-filter (planned as
+    TakeOrderedAndProject: per-partition heap top-k) provably contains
+    the global top-k; the single-partition row_number window then ranks
+    ≤ 10·k rows instead of ALL pairs. Before this fix the global window
+    was the scale bottleneck of the whole query."""
     d = load(spark, sf_dir, "documents").select("doc_id", word_shingles(F.col("text")).alias("shingles"))
-    pairs = _pair_jaccard(d)
-    w = Window.orderBy(F.desc("jaccard"), F.asc("doc1"), F.asc("doc2"))
-    return pairs.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k).orderBy("rnk")
+    order = [F.desc("jaccard"), F.asc("doc1"), F.asc("doc2")]
+    pruned = _pair_jaccard(d).orderBy(*order).limit(10 * k)
+    w = Window.orderBy(*order)
+    return pruned.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k).orderBy("rnk")
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
@@ -199,14 +207,22 @@ def simhash(words: Column) -> Column:
     )
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str, max_hamming: int = 6) -> DataFrame:
-    """SimHash near-dup pairs: 4×16-bit chunk banding → hamming verify."""
+def dedup_simhash(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 6, max_bucket: int = 64
+) -> DataFrame:
+    """SimHash near-dup pairs: 4×16-bit chunk banding → hamming verify.
+
+    Candidate generation mirrors MinHash-LSH: group by (chunk, sig),
+    collect the bucket, DROP buckets larger than ``max_bucket`` (a hot
+    16-bit chunk value shared by thousands of docs discriminates nothing
+    and would go quadratic), and emit pairs from the sorted id list — one
+    shuffle, no self-join. Bits are re-joined only for the surviving
+    candidate pairs."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id", simhash(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("bits")
     )
     chunks = d.select(
         "doc_id",
-        "bits",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(3)),
@@ -216,31 +232,39 @@ def dedup_simhash(spark: SparkSession, sf_dir: str, max_hamming: int = 6) -> Dat
                 ),
             )
         ).alias("cc"),
-    ).select("doc_id", "bits", F.col("cc.chunk").alias("chunk"), F.col("cc.sig").alias("sig"))
-    a = chunks.alias("a")
-    b = chunks.alias("b")
+    ).select("doc_id", F.col("cc.chunk").alias("chunk"), F.col("cc.sig").alias("sig"))
+    groups = (
+        chunks.groupBy("chunk", "sig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        groups.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                            lambda y: F.struct(x.alias("doc1"), y.alias("doc2")),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("a.doc_id").alias("doc1"),
-            F.col("b.doc_id").alias("doc2"),
-            F.col("a.bits").alias("bits1"),
-            F.col("b.bits").alias("bits2"),
-        )
+        .select(F.col("p.doc1").alias("doc1"), F.col("p.doc2").alias("doc2"))
         .distinct()
     )
+    verified = cand.join(
+        d.select(F.col("doc_id").alias("doc1"), F.col("bits").alias("bits1")), "doc1"
+    ).join(d.select(F.col("doc_id").alias("doc2"), F.col("bits").alias("bits2")), "doc2")
     hamming = F.aggregate(
         F.zip_with("bits1", "bits2", lambda x, y: F.when(x != y, 1).otherwise(0)),
         F.lit(0),
         lambda acc, x: acc + x,
     )
     return (
-        cand.withColumn("hamming", hamming)
+        verified.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc1", "doc2", "hamming")
         .orderBy("hamming", "doc1", "doc2")

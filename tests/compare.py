@@ -4,6 +4,7 @@ the engine's conventions should make them exactly equal)."""
 
 from __future__ import annotations
 
+import decimal
 import math
 
 import duckdb
@@ -34,6 +35,12 @@ def _norm(v):
         if math.isnan(v):
             return "NaN"
         return round(v, 9)
+    if isinstance(v, decimal.Decimal):
+        # The driver hashes values type-sensitively: DuckDB HUGEINT/DECIMAL
+        # exports (decimal128 in Arrow) will NOT hash-match Spark's int64
+        # even when numerically equal (Decimal(1000) == 1000 in Python).
+        # Tag so the local gate fails exactly where the driver's would.
+        return ("decimal", str(v))
     return v
 
 
