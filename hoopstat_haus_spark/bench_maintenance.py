@@ -1,10 +1,14 @@
 """Maintenance-throughput bench, one parallelism level per process.
 
 Run as: ``python -m hoopstat_haus_spark.bench_maintenance --cpus N
---docs M [--iters K]`` — prints ONE JSON line. bench.py invokes this at
-N and 4N to evidence the north rule's scaling criterion without a real
-cluster: same input, two local parallelism levels, efficiency =
-throughput(4N) / (4 × throughput(N)).
+--docs M [--iters K]`` — prints ONE JSON line. With ``--serve`` the
+process instead stays resident: it prints a READY line, then runs one
+iteration per "RUN" line on stdin, emitting one JSON sample line each —
+bench.py starts one server per level (N and 4N) and INTERLEAVES their
+iterations so both levels sample the same host-throttle windows
+(BENCH.md: round-1 showed the two levels can land in different windows
+when run back-to-back, skewing the efficiency ratio in either
+direction).
 
 Methodology (this sandbox's host throttles CPU stochastically, ~2-4×
 swings minute-to-minute):
@@ -55,9 +59,16 @@ def main() -> None:
     ap.add_argument("--target-mb", type=int, default=16)
     ap.add_argument("--fragment-files", type=int, default=128)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--max-units", type=int, default=0, help="0 = max(4, cpus//2)")
+    ap.add_argument(
+        "--serve",
+        action="store_true",
+        help="stay resident: one iteration per 'RUN' stdin line, JSON sample per line",
+    )
     args = ap.parse_args()
 
     os.environ["SPARK_GRAFT_CPUS"] = str(args.cpus)
+    max_units = args.max_units or max(4, args.cpus // 2)
     extra = {}
     if os.environ.get("SPARK_GRAFT_SHM_SHUFFLE", "1") != "0" and os.path.isdir("/dev/shm"):
         extra["spark.local.dir"] = f"/dev/shm/spark-graft-tmp-{os.getpid()}"
@@ -88,39 +99,53 @@ def main() -> None:
             spark.conf.set("spark.sql.parquet.compression.codec", "zstd")
         os.sync()
 
-    samples = []
-    gb_in = gb_out = files_in = files_out = rows = tokens = 0
-    for _ in range(args.iters):
+    def one_iteration() -> dict:
         clone = os.path.join(SCRATCH, f"bench-run-{uuid.uuid4().hex[:8]}")
         try:
             _clone_hardlink(template, clone)
             table = TokenLakeTable(spark, clone)
             t0 = time.time()
-            _snap, metrics = table.compact(policy, max_concurrent_units=4)
+            _snap, metrics = table.compact(policy, max_concurrent_units=max_units)
             wall = time.time() - t0
-            samples.append(round(wall, 3))
-            gb_in = metrics.bytes_in / 1e9
-            gb_out = metrics.bytes_out / 1e9
-            files_in, files_out = metrics.files_in, metrics.files_out
-            rows, tokens = metrics.rows, metrics.tokens
+            return {
+                "wall": round(wall, 3),
+                "gb_in": round(metrics.bytes_in / 1e9, 4),
+                "gb_out": round(metrics.bytes_out / 1e9, 4),
+                "files_in": metrics.files_in,
+                "files_out": metrics.files_out,
+                "rows": metrics.rows,
+                "tokens": metrics.tokens,
+            }
         finally:
             shutil.rmtree(clone, ignore_errors=True)
 
-    best = min(samples)
-    out = {
-        "cpus": args.cpus,
-        "docs": args.docs,
-        "files_in": files_in,
-        "files_out": files_out,
-        "gb_in": round(gb_in, 4),
-        "gb_out": round(gb_out, 4),  # zstd re-encode: ~4× smaller at rest
-        "duration_s_samples": samples,
-        "duration_s": best,
-        "gb_per_hour": round(gb_in / (best / 3600.0), 2),
-        "rows_per_second": round(rows / best, 1),
-        "tokens_per_second": round(tokens / best, 1),
-    }
-    print(json.dumps(out))
+    if args.serve:
+        print(json.dumps({"ready": True, "cpus": args.cpus}), flush=True)
+        for line in sys.stdin:
+            if line.strip() != "RUN":
+                continue
+            print(json.dumps(one_iteration()), flush=True)
+    else:
+        samples = []
+        last: dict = {}
+        for _ in range(args.iters):
+            last = one_iteration()
+            samples.append(last["wall"])
+        best = min(samples)
+        out = {
+            "cpus": args.cpus,
+            "docs": args.docs,
+            "files_in": last["files_in"],
+            "files_out": last["files_out"],
+            "gb_in": last["gb_in"],
+            "gb_out": last["gb_out"],  # zstd re-encode: ~4× smaller at rest
+            "duration_s_samples": samples,
+            "duration_s": best,
+            "gb_per_hour": round(last["gb_in"] / (best / 3600.0), 2),
+            "rows_per_second": round(last["rows"] / best, 1),
+            "tokens_per_second": round(last["tokens"] / best, 1),
+        }
+        print(json.dumps(out))
     if "spark.local.dir" in extra:
         shutil.rmtree(extra["spark.local.dir"], ignore_errors=True)
     spark.stop()

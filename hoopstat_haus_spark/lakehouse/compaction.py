@@ -156,33 +156,56 @@ def compact_partition(
     job_id: str,
     curve: str = "zorder",
     strategy: str = "sort",
+    read_ddl: str | None = None,
 ) -> list[str]:
     """Rewrite one partition's victim files; returns new relative paths.
 
     Staging-then-rename keeps the partition directory consistent: readers
     resolve files through the manifest, so in-flight staged files are
     invisible until the final snapshot commit.
+
+    ``read_ddl`` (the table schema + _zkey) makes mixed-schema rewrites
+    safe: files predating an evolved column read it as NULL instead of
+    the reader inferring one arbitrary file's footer and silently
+    dropping the column from the compacted output.
     """
     data_dir = os.path.join(table_path, "data")
     abs_paths = [os.path.join(table_path, p) for p in input_rel_paths]
     n_out = output_file_count(total_bytes, policy)
 
-    df = spark.read.option("basePath", data_dir).parquet(*abs_paths).drop("source", "_zkey")
+    reader = spark.read.option("basePath", data_dir)
+    if read_ddl:
+        reader = reader.schema(read_ddl)
+    df = reader.parquet(*abs_paths).drop("source", "_zkey")
     if strategy == "sort":
         df = with_zkey(df, curve=curve)
         if n_out > 1:
             # boundary estimation on a COLUMN-PRUNED scan: reads only
-            # (doc_id, n_tok) — a few % of bytes since `tokens` never loads
+            # (doc_id, n_tok) — a few % of bytes since `tokens` never
+            # loads — further thinned to a deterministic ~1/4 hash sample
+            # (RangePartitioner samples too; boundary error shifts file
+            # sizes a few %, well under the target/max headroom)
             skinny = (
                 spark.read.option("basePath", data_dir)
                 .parquet(*abs_paths)
                 .select("doc_id", "n_tok")
+                .filter(F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(4)) == 0)
             )
             skinny = with_zkey(skinny, curve=curve)
             fracs = [i / n_out for i in range(1, n_out)]
             bounds = skinny.agg(
                 F.percentile_approx("_zkey", F.array(*[F.lit(f) for f in fracs]), F.lit(5000))
             ).collect()[0][0]
+            if not bounds:  # degenerate unit: sample came up empty
+                full = with_zkey(
+                    spark.read.option("basePath", data_dir)
+                    .parquet(*abs_paths)
+                    .select("doc_id", "n_tok"),
+                    curve=curve,
+                )
+                bounds = full.agg(
+                    F.percentile_approx("_zkey", F.array(*[F.lit(f) for f in fracs]), F.lit(5000))
+                ).collect()[0][0] or [0] * (n_out - 1)
             b_arr = F.array(*[F.lit(int(b)) for b in bounds])
             bucket = F.aggregate(
                 b_arr, F.lit(0), lambda acc, b: acc + F.when(F.col("_zkey") > b, 1).otherwise(0)

@@ -6,6 +6,19 @@ anything on disk outside that reachable set (orphans from crashed jobs
 included). The two-phase split means a crash between expire and GC can
 only leave garbage, never dangle a reference.
 
+Concurrent-writer safety (Iceberg's orphan-file rules):
+
+- **min-age guard**: a file younger than ``min_age_s`` is NEVER deleted,
+  even if unreachable — it may belong to a job that hasn't committed its
+  snapshot yet (default 1 h; pass 0 only when no other writer can run).
+- **checkpoint protection**: files recorded as ``output_files`` in ANY
+  ``_checkpoints`` record are kept — a crashed-but-resumable job's
+  staged-into-place outputs must survive GC or the resume fails on
+  missing files.
+- **scoped staging sweep**: only ``.staging/<job_id>`` dirs older than
+  the min age AND not owned by a checkpointed job are removed — never
+  the whole tree (which would destroy a live job's in-flight output).
+
 Scale note: reachable-set construction is driver-side set algebra over
 manifest parquet (metadata, ~1 row per data file). At 10^12-sequence
 scale with ~10^6 files that is still MB-scale; if manifests outgrow the
@@ -14,15 +27,44 @@ driver, the same union/except is one Spark job over manifest DataFrames.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import time
 
 from hoopstat_haus_spark.lakehouse import manifest as mf
 from hoopstat_haus_spark.lakehouse.snapshots import SnapshotLog
 
+DEFAULT_MIN_AGE_S = 3600.0
 
-def collect_garbage(table_path: str, dry_run: bool = False) -> dict:
+
+def _checkpoint_protected(table_path: str) -> set[str]:
+    """Relative paths of every checkpointed unit's output files."""
+    protected: set[str] = set()
+    root = os.path.join(table_path, "_checkpoints")
+    if not os.path.isdir(root):
+        return protected
+    for job_id in os.listdir(root):
+        job_dir = os.path.join(root, job_id)
+        if not os.path.isdir(job_dir):
+            continue
+        for name in os.listdir(job_dir):
+            if not name.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(job_dir, name)) as f:
+                    rec = json.load(f)
+            except (OSError, ValueError):
+                continue
+            protected.update(rec.get("output_files", []))
+    return protected
+
+
+def collect_garbage(
+    table_path: str, dry_run: bool = False, min_age_s: float = DEFAULT_MIN_AGE_S
+) -> dict:
     log = SnapshotLog(table_path)
+    now = time.time()
     reachable_data: set[str] = set()
     reachable_manifests: set[str] = set()
     for sid in log.list_ids():
@@ -30,32 +72,51 @@ def collect_garbage(table_path: str, dry_run: bool = False) -> dict:
         reachable_manifests.add(snap.manifest)
         for e in mf.read_manifest(table_path, snap.manifest):
             reachable_data.add(e["file_path"])
+    reachable_data |= _checkpoint_protected(table_path)
 
-    removed_data, removed_manifests = [], []
+    def young(path: str) -> bool:
+        try:
+            return now - os.path.getmtime(path) < min_age_s
+        except OSError:
+            return True  # vanished mid-walk → someone is using it
+
+    removed_data, removed_manifests, removed_staging = [], [], []
     data_root = os.path.join(table_path, "data")
     for dirpath, _dirs, files in os.walk(data_root):
         for name in files:
-            rel = os.path.relpath(os.path.join(dirpath, name), table_path)
-            if rel not in reachable_data:
+            abs_path = os.path.join(dirpath, name)
+            rel = os.path.relpath(abs_path, table_path)
+            if rel not in reachable_data and not young(abs_path):
                 removed_data.append(rel)
                 if not dry_run:
-                    os.remove(os.path.join(table_path, rel))
+                    os.remove(abs_path)
 
     man_dir = os.path.join(table_path, "_manifests")
     if os.path.isdir(man_dir):
         for name in os.listdir(man_dir):
             rel = f"_manifests/{name}"
-            if rel not in reachable_manifests:
+            abs_path = os.path.join(table_path, rel)
+            if rel not in reachable_manifests and not young(abs_path):
                 removed_manifests.append(rel)
                 if not dry_run:
-                    os.remove(os.path.join(table_path, rel))
+                    os.remove(abs_path)
 
+    # sweep ONLY stale per-job staging dirs; jobs with a checkpoint dir
+    # are resumable and keep their staging until the checkpoint is gone
     staging = os.path.join(table_path, ".staging")
-    if not dry_run and os.path.isdir(staging):
-        shutil.rmtree(staging, ignore_errors=True)
+    ckpt_root = os.path.join(table_path, "_checkpoints")
+    if os.path.isdir(staging):
+        for job_id in os.listdir(staging):
+            job_staging = os.path.join(staging, job_id)
+            if young(job_staging) or os.path.isdir(os.path.join(ckpt_root, job_id)):
+                continue
+            removed_staging.append(f".staging/{job_id}")
+            if not dry_run:
+                shutil.rmtree(job_staging, ignore_errors=True)
 
     return {
         "reachable_files": len(reachable_data),
         "removed_data_files": sorted(removed_data),
         "removed_manifests": sorted(removed_manifests),
+        "removed_staging": sorted(removed_staging),
     }

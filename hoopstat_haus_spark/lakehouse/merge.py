@@ -67,7 +67,14 @@ def merge_into(
     curve: str = "zorder",
 ) -> tuple[Snapshot, JobMetrics]:
     """Upsert/delete ``updates`` (doc_id, tokens, n_tok, source[, _op])
-    into the table; returns the new snapshot + job metrics."""
+    into the table; returns the new snapshot + job metrics.
+
+    Duplicate (doc_id, source) keys in ``updates`` are REJECTED up front
+    (Iceberg MERGE raises on multiple matches): a fanned-out left join
+    would silently duplicate matched target rows and break the
+    one-token-array-per-doc_id invariant. Callers with legitimately
+    duplicated feeds (e.g. quarantine replay across batches) must dedupe
+    deterministically first."""
     spark = table.spark
     job_id = job_id or f"merge-{uuid.uuid4().hex[:10]}"
     metrics = JobMetrics(job=job_id)
@@ -75,9 +82,37 @@ def merge_into(
     head = table.log.current()
     entries = mf.read_manifest(table.path, head.manifest)
 
+    schema = table.schema_def()
+    value_cols = [f for f in schema.fields if f["name"] not in ("doc_id", "source")]
     if OP_COL not in updates.columns:
         updates = updates.withColumn(OP_COL, F.lit("upsert"))
-    updates = updates.select("doc_id", "tokens", "n_tok", "source", OP_COL)
+    # project onto the live schema, keeping _op: evolved columns absent
+    # from the update feed become NULL → the coalesce below keeps the
+    # target's value (an explicit NULL overwrite is not expressible —
+    # same limitation as the reference's dict-merge upserts)
+    proj = [
+        (
+            F.col(f["name"]).cast(f["type"])
+            if f["name"] in updates.columns
+            else F.lit(None).cast(f["type"])
+        ).alias(f["name"])
+        for f in schema.fields
+    ]
+    updates = updates.select(*proj, F.col(OP_COL))
+
+    dup = (
+        updates.groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"merge_into: duplicate update key (doc_id={dup[0]['doc_id']!r}, "
+            f"source={dup[0]['source']!r}) — MERGE requires unique (doc_id, source); "
+            "dedupe the update set first"
+        )
 
     cand = _candidate_files(spark, entries, updates)
     cand_paths = [e["file_path"] for e in cand]
@@ -90,17 +125,24 @@ def merge_into(
     ckpt.intent("rewrite", cand_paths)
     t0 = time.time()
     if cand_paths:
-        target = table.spark.read.option("basePath", table.data_dir).parquet(
-            *[os.path.join(table.path, p) for p in cand_paths]
+        target = (
+            table.spark.read.option("basePath", table.data_dir)
+            .schema(schema.ddl(extra=((mf.ZKEY_COL, "long"),)))
+            .parquet(*[os.path.join(table.path, p) for p in cand_paths])
+            .drop(mf.ZKEY_COL)
         )
-        if mf.ZKEY_COL in target.columns:
-            target = target.drop(mf.ZKEY_COL)
         t = target.alias("t")
         joined = t.join(F.broadcast(u), ["doc_id", "source"], "left_outer")
-        survivors = joined.filter((F.col(f"u.{OP_COL}").isNull()) | (F.col(f"u.{OP_COL}") != "delete")).select(
+        survivors = joined.filter(
+            (F.col(f"u.{OP_COL}").isNull()) | (F.col(f"u.{OP_COL}") != "delete")
+        ).select(
             F.col("doc_id"),
-            F.coalesce(F.col("u.tokens"), F.col("t.tokens")).alias("tokens"),
-            F.coalesce(F.col("u.n_tok"), F.col("t.n_tok")).cast("int").alias("n_tok"),
+            *[
+                F.coalesce(F.col(f"u.{f['name']}"), F.col(f"t.{f['name']}"))
+                .cast(f["type"])
+                .alias(f["name"])
+                for f in value_cols
+            ],
             F.col("source"),
         )
         survivors = with_zkey(survivors, curve=curve).sortWithinPartitions("source", mf.ZKEY_COL)
@@ -116,8 +158,9 @@ def merge_into(
     inserts = (
         u.filter(F.col(OP_COL) != "delete")
         .join(matched_keys, ["doc_id", "source"], "left_anti")
-        .select("doc_id", "tokens", "n_tok", "source")
+        .select(*schema.names())
     )
+    inserts = schema.apply_defaults(inserts)
     inserts = with_zkey(inserts, curve=curve).sortWithinPartitions("source", mf.ZKEY_COL)
     new_files += table._write_files(inserts, f"insert-{job_id}", repartition_n=None)
 
@@ -145,6 +188,7 @@ def merge_into(
             "rewritten_files": len(cand_paths),
             "new_files": len(fresh),
             "rows": int(sum(e["row_count"] for e in new_entries)),
+            "schema_version": schema.version,
         },
         expected_parent=head.snapshot_id,
     )

@@ -25,7 +25,7 @@ import shutil
 import uuid
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from hoopstat_haus_spark.lakehouse.merge import merge_into
@@ -62,7 +62,21 @@ def validate_batch(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     )
 
 
+def _ptr_path(table: TokenLakeTable) -> str:
+    return os.path.join(table.path, "_quarantine_ptr")
+
+
 def quarantine_dir(table: TokenLakeTable) -> str:
+    """Resolve the LIVE sidecar dir through the pointer file (snapshot-log
+    style). No pointer → the default dir. Replay swaps the pointer with
+    one atomic os.replace, so a crash at any instant leaves a valid live
+    sidecar — the old two-rename swap had a window (after `qd -> old`,
+    before `tmp -> qd`) where no sidecar existed and every quarantined
+    row silently vanished from reads."""
+    ptr = _ptr_path(table)
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            return os.path.join(table.path, f.read().strip())
     return os.path.join(table.path, "_quarantine")
 
 
@@ -133,22 +147,38 @@ def replay(
         candidates = candidates.unionByName(p)
 
     valid, still_bad = validate_batch(candidates)
+    # the same doc can be quarantined in several batches: MERGE rejects
+    # duplicate keys, so pick ONE deterministic winner per (doc_id,
+    # source) — longest token array, then lexicographic token digest
+    dedupe_w = Window.partitionBy("doc_id", "source").orderBy(
+        F.desc("n_tok"),
+        F.md5(F.concat_ws(",", F.transform("tokens", lambda t: t.cast("string")))),
+    )
+    valid = (
+        valid.withColumn("_rn", F.row_number().over(dedupe_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     resolved = valid.count()
     still_failed = still_bad.count()
     if resolved:
         merge_into(table, valid)
 
     # rewrite sidecar: keep the non-replayed classes plus still-failing
-    # rows; staging + rename so a crash never loses the sidecar
+    # rows, written to a FRESH dir; one atomic pointer swap makes it live
     remaining = read_quarantine(table).filter(~F.col("_error_class").isin(replay_classes))
     remaining = remaining.unionByName(still_bad)
-    qd = quarantine_dir(table)
-    tmp = qd + f".new-{uuid.uuid4().hex[:8]}"
-    remaining.write.mode("overwrite").partitionBy("_error_class").parquet(tmp)
-    old = qd + f".old-{uuid.uuid4().hex[:8]}"
-    os.rename(qd, old)
-    os.rename(tmp, qd)
-    shutil.rmtree(old, ignore_errors=True)
+    old_live = quarantine_dir(table)
+    new_name = f"_quarantine-{uuid.uuid4().hex[:8]}"
+    remaining.write.mode("overwrite").partitionBy("_error_class").parquet(
+        os.path.join(table.path, new_name)
+    )
+    ptr = _ptr_path(table)
+    tmp = ptr + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(new_name)
+    os.replace(tmp, ptr)  # atomic: readers see old or new, never neither
+    shutil.rmtree(old_live, ignore_errors=True)
     return {"replayed": total, "resolved": resolved, "still_failed": still_failed}
 
 

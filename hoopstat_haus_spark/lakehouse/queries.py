@@ -125,6 +125,42 @@ def snapshot_isolation_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup(t.scan(snapshot_id=pre_snapshot))
 
 
+def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution cycle: create (v1) → add `lang` column with
+    default 'und' → append a second batch that carries explicit values →
+    compact (mixed-schema rewrite) → scan and roll up by (source, lang).
+    Old rows must read the default, new rows their values, token arrays
+    intact through the whole cycle — all value-checked by the oracle's
+    closed-form reconstruction."""
+    t = TokenLakeTable.create(
+        spark, _scratch("evolve"), from_documents(spark, sf_dir), repartition_n=8
+    )
+    t.evolve_schema([{"name": "lang", "type": "string", "default": "und"}])
+    base = from_documents(spark, sf_dir)
+    num = F.substring("doc_id", 5, 10).cast("long") + F.lit(700000)
+    batch2 = base.select(
+        F.format_string("doc-%08d", num).alias("doc_id"),
+        "tokens",
+        "n_tok",
+        "source",
+        F.when(num % 2 == 0, "en").otherwise("fr").alias("lang"),
+    )
+    t.append(batch2, repartition_n=4)
+    t.compact(TEST_POLICY)
+    df = t.scan()
+    checksum = F.aggregate("tokens", F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long"))
+    return (
+        df.select("source", "lang", "n_tok", checksum.alias("chk"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("sum_n_tok"),
+            F.sum("chk").alias("sum_tok_checksum"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
 def _tokens_sql() -> str:
     return documents_token_sql()
 
@@ -150,8 +186,24 @@ ORACLE = {
     ),
 }
 
+ORACLE["maint_schema_evolution_scan"] = f"""
+    SELECT source, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_n_tok,
+           CAST(SUM(list_sum(tokens)) AS BIGINT) AS sum_tok_checksum
+    FROM (
+      SELECT source, 'und' AS lang, n_tok, tokens FROM {_tokens_sql()} t
+      UNION ALL
+      SELECT source,
+             CASE WHEN (CAST(substr(doc_id, 5) AS BIGINT) + 700000) % 2 = 0
+                  THEN 'en' ELSE 'fr' END AS lang,
+             n_tok, tokens
+      FROM {_tokens_sql()} t2
+    ) GROUP BY source, lang ORDER BY source, lang
+"""
+
 QUERIES = {
     "maint_compact_scan": compact_scan,
     "maint_merge_scan": merge_scan,
     "maint_snapshot_isolation_scan": snapshot_isolation_scan,
+    "maint_schema_evolution_scan": schema_evolution_scan,
 }

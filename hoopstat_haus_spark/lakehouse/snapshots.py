@@ -83,7 +83,15 @@ class SnapshotLog:
         expected_parent: int | None = None,
     ) -> Snapshot:
         """Optimistic-concurrency commit: fails if HEAD moved past
-        ``expected_parent`` (pass the id the job planned against)."""
+        ``expected_parent`` (pass the id the job planned against).
+
+        The head check alone is check-then-act — two writers that both
+        read head=N would both pass and the second os.replace would
+        silently overwrite the first's acknowledged commit. The real
+        mutex is the EXCLUSIVE creation of v(N+1).json via os.link
+        (atomic fail-if-exists on POSIX; maps to S3 If-None-Match
+        conditional put): exactly one writer can create each version, the
+        loser gets ConcurrentCommitError and must re-plan."""
         head = self.current_id()
         if expected_parent is not None and head != expected_parent:
             raise ConcurrentCommitError(f"planned against v{expected_parent}, head is v{head}")
@@ -99,7 +107,14 @@ class SnapshotLog:
         tmp = snap_path + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(asdict(snap), f, indent=1)
-        os.replace(tmp, snap_path)
+        try:
+            os.link(tmp, snap_path)  # atomic create-if-absent, full content
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"v{snap.snapshot_id} already committed by a concurrent writer"
+            ) from None
+        finally:
+            os.unlink(tmp)
         self._swap_pointer(snap.name)
         return snap
 

@@ -31,10 +31,11 @@ from hoopstat_haus_spark.lakehouse.compaction import (
     plan_compaction,
 )
 from hoopstat_haus_spark.lakehouse.metrics import JobMetrics
+from hoopstat_haus_spark.lakehouse.schema import TableSchema, evolved, read_schema, write_schema
 from hoopstat_haus_spark.lakehouse.snapshots import Snapshot, SnapshotLog
 from hoopstat_haus_spark.lakehouse.zorder import with_zkey
 
-DATA_COLUMNS = ["doc_id", "tokens", "n_tok", "source"]
+DATA_COLUMNS = ["doc_id", "tokens", "n_tok", "source"]  # base (schema v1)
 
 
 class TokenLakeTable:
@@ -42,6 +43,29 @@ class TokenLakeTable:
         self.spark = spark
         self.path = os.path.abspath(path)
         self.log = SnapshotLog(self.path)
+
+    # ----------------------------------------------------------- schema
+    def schema_def(self, snapshot_id: int | None = None) -> TableSchema:
+        """The live schema, or the one stamped on a pinned snapshot."""
+        if snapshot_id is not None:
+            snap = self.log.get(snapshot_id)
+            return read_schema(self.path, snap.summary.get("schema_version", 1))
+        return read_schema(self.path)
+
+    def evolve_schema(self, add_fields: list[dict]) -> Snapshot:
+        """Add columns (``{"name", "type", "default"}``) — metadata-only:
+        no data file is touched; a new snapshot stamps the new version
+        over the SAME manifest. Old files read the new columns as their
+        default (schema.py module docstring)."""
+        head = self.log.current()
+        new_schema = evolved(self.schema_def(), add_fields)
+        write_schema(self.path, new_schema)
+        return self.log.commit(
+            head.manifest,
+            "schema",
+            {**head.summary, "schema_version": new_schema.version},
+            expected_parent=head.snapshot_id,
+        )
 
     # ------------------------------------------------------------ write
     @property
@@ -56,8 +80,9 @@ class TokenLakeTable:
         out = df
         if repartition_n:
             out = out.repartition(repartition_n)
+        keep = set(self.schema_def().names()) | {mf.ZKEY_COL}
         (
-            out.select(*[c for c in out.columns if c in DATA_COLUMNS or c == mf.ZKEY_COL])
+            out.select(*[c for c in out.columns if c in keep])
             .write.mode("overwrite")
             .partitionBy("source")
             .parquet(staging)
@@ -97,17 +122,22 @@ class TokenLakeTable:
         new_files = t._write_files(df, "append", repartition_n)
         entries = mf.compute_file_stats(spark, t.path, new_files)
         rel = mf.write_manifest(t.path, entries)
-        t.log.commit(rel, "append", _summary(entries))
+        t.log.commit(rel, "append", t._stamp(_summary(entries)))
         return t
+
+    def _stamp(self, summary: dict) -> dict:
+        return {**summary, "schema_version": self.schema_def().version}
 
     def append(self, df: DataFrame, repartition_n: int | None = None) -> Snapshot:
         head = self.log.current()
-        new_files = self._write_files(df, "append", repartition_n)
+        new_files = self._write_files(self.schema_def().conform(df), "append", repartition_n)
         entries = mf.read_manifest(self.path, head.manifest) + mf.compute_file_stats(
             self.spark, self.path, new_files
         )
         rel = mf.write_manifest(self.path, entries)
-        return self.log.commit(rel, "append", _summary(entries), expected_parent=head.snapshot_id)
+        return self.log.commit(
+            rel, "append", self._stamp(_summary(entries)), expected_parent=head.snapshot_id
+        )
 
     # ------------------------------------------------------------- read
     def manifest_entries(self, snapshot_id: int | None = None) -> list[dict]:
@@ -132,6 +162,7 @@ class TokenLakeTable:
         pruning (``partitioning.py:166-266``) — then again as real
         filters so parquet row-group pushdown finishes the job.
         """
+        schema = self.schema_def(snapshot_id)
         entries = self.manifest_entries(snapshot_id)
         if sources is not None:
             entries = [e for e in entries if e["partition"] in sources]
@@ -140,9 +171,17 @@ class TokenLakeTable:
         if n_tok_max is not None:
             entries = [e for e in entries if e["min_n_tok"] <= n_tok_max]
         if not entries:
-            return self.spark.createDataFrame([], schema="doc_id string, tokens array<int>, n_tok int, source string")
+            return self.spark.createDataFrame([], schema=schema.ddl())
         paths = [os.path.join(self.path, e["file_path"]) for e in entries]
-        df = self.spark.read.option("basePath", self.data_dir).parquet(*paths)
+        # explicit expected schema: files older than an evolved column
+        # read it as NULL (then its default applies) instead of the
+        # reader inferring a random file's footer on mixed-schema scans
+        df = (
+            self.spark.read.option("basePath", self.data_dir)
+            .schema(schema.ddl(extra=((mf.ZKEY_COL, "long"),)))
+            .parquet(*paths)
+        )
+        df = schema.apply_defaults(df)
         if n_tok_min is not None:
             df = df.filter(F.col("n_tok") >= n_tok_min)
         if n_tok_max is not None:
@@ -200,6 +239,8 @@ class TokenLakeTable:
             else:
                 pending.append((part, inputs))
 
+        read_ddl = self.schema_def().ddl(extra=((mf.ZKEY_COL, "long"),))
+
         def _run_unit(part: str, inputs: list[dict]) -> list[str]:
             in_paths = [f["file_path"] for f in inputs]
             t0 = time.time()
@@ -214,6 +255,7 @@ class TokenLakeTable:
                 job_id,
                 curve=curve,
                 strategy=strategy,
+                read_ddl=read_ddl,
             )
             ckpt.done(
                 part,
@@ -231,9 +273,23 @@ class TokenLakeTable:
             workers = max(1, min(max_concurrent_units, len(pending)))
             # biggest partitions first: small ones backfill the tail
             pending.sort(key=lambda pu: -sum(f["file_bytes"] for f in pu[1]))
-            with ThreadPoolExecutor(max_workers=workers) as pool:
-                for out in pool.map(lambda pu: _run_unit(*pu), pending):
-                    new_files.extend(out)
+            # size map partitions to the JOB, not the default: small-file
+            # inputs coalesce under maxPartitionBytes, and the 128 MB
+            # default can leave a big cluster mostly idle through the
+            # whole map stage (e.g. 1 GB hot partition → 8 read tasks on
+            # 16+ cores). Target ≈ 3 waves of map tasks per core.
+            conf_key = "spark.sql.files.maxPartitionBytes"
+            par = self.spark.sparkContext.defaultParallelism
+            total_in = sum(f["file_bytes"] for _p, inputs in pending for f in inputs)
+            sized = min(128 << 20, max(4 << 20, total_in // max(par * 3, 1)))
+            prev = self.spark.conf.get(conf_key)
+            self.spark.conf.set(conf_key, str(sized))
+            try:
+                with ThreadPoolExecutor(max_workers=workers) as pool:
+                    for out in pool.map(lambda pu: _run_unit(*pu), pending):
+                        new_files.extend(out)
+            finally:
+                self.spark.conf.set(conf_key, prev)
 
         new_entries = [e for e in entries if e["file_path"] not in rewritten]
         fresh = mf.compute_file_stats(self.spark, self.path, new_files)
@@ -244,7 +300,9 @@ class TokenLakeTable:
         snap = self.log.commit(
             rel,
             "compact",
-            {**_summary(new_entries), "job_id": job_id, "curve": curve, "strategy": strategy},
+            self._stamp(
+                {**_summary(new_entries), "job_id": job_id, "curve": curve, "strategy": strategy}
+            ),
             expected_parent=head.snapshot_id,
         )
         return snap, metrics.finish()
@@ -275,10 +333,12 @@ class TokenLakeTable:
     def expire_snapshots(self, keep_last: int = 2) -> list[int]:
         return self.log.expire(keep_last)
 
-    def collect_garbage(self) -> dict:
-        from hoopstat_haus_spark.lakehouse.gc import collect_garbage
+    def collect_garbage(self, min_age_s: float | None = None) -> dict:
+        from hoopstat_haus_spark.lakehouse.gc import DEFAULT_MIN_AGE_S, collect_garbage
 
-        return collect_garbage(self.path)
+        return collect_garbage(
+            self.path, min_age_s=DEFAULT_MIN_AGE_S if min_age_s is None else min_age_s
+        )
 
 
 def _summary(entries: list[dict]) -> dict:

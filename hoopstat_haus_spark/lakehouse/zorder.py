@@ -141,7 +141,54 @@ def zkey_udf(curve: str = "zorder", n_tok_lo: int = 0, n_tok_hi: int = 4096):
     return _zkey
 
 
+def _spread2_expr(x: Column) -> Column:
+    """JVM mirror of :func:`_spread2`: dilate 31 bits with interleaved 0s.
+    Pure shift/mask Column ops — stays inside whole-stage codegen."""
+    x = x.bitwiseAND(F.lit(0x7FFFFFFF))
+    for shift, mask in (
+        (16, 0x0000FFFF0000FFFF),
+        (8, 0x00FF00FF00FF00FF),
+        (4, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x3333333333333333),
+        (1, 0x5555555555555555),
+    ):
+        x = x.bitwiseOR(F.shiftleft(x, shift)).bitwiseAND(F.lit(mask))
+    return x
+
+
+def zkey_expr_zorder(n_tok: Column, doc_hash: Column, n_tok_lo: int = 0, n_tok_hi: int = 4096) -> Column:
+    """Morton Z-key as a native Column expression — bit-exact with the
+    Arrow kernel (asserted in tests/test_zorder.py) but with ZERO Python
+    in the plan: no Python-worker spawn, no Arrow IPC, and the expression
+    fuses into the same codegen stage as the shuffle write. Matters for
+    scaling: worker spawn + per-batch IPC are per-TASK fixed costs, and
+    the 4N-executor level runs 4× the tasks, so a Python stage taxes the
+    bigger cluster disproportionately (measured in BENCH.md round 2).
+
+    Float path mirrors numpy exactly: clip((v-lo)/span, 0, 1) in float64,
+    × (2³¹−1), truncate-toward-zero (Spark double→long cast ≡ numpy
+    astype) — identical IEEE754 ops → identical keys."""
+    bits = 31
+    span = max(n_tok_hi - n_tok_lo, 1e-12)
+    frac = F.least(
+        F.greatest((n_tok.cast("double") - F.lit(float(n_tok_lo))) / F.lit(span), F.lit(0.0)),
+        F.lit(1.0),
+    )
+    a = (frac * F.lit(float((1 << bits) - 1))).cast("long")
+    b = F.shiftrightunsigned(doc_hash, 64 - bits)  # uint64-view >> 33
+    key = _spread2_expr(a).bitwiseOR(F.shiftleft(_spread2_expr(b), 1))
+    return F.shiftrightunsigned(key, 1)  # signed-positive, as the kernel
+
+
 def with_zkey(df, curve: str = "zorder", n_tok_lo: int = 0, n_tok_hi: int = 4096) -> Column:
-    """Attach the cluster key column ``_zkey`` (JVM-side hash, Arrow kernel)."""
+    """Attach the cluster key column ``_zkey``.
+
+    The default Morton curve is a pure JVM expression
+    (:func:`zkey_expr_zorder`); Hilbert keeps the Arrow kernel (its
+    bit×dim iteration doesn't reduce to a fixed expression tree)."""
+    if curve == "zorder":
+        return df.withColumn(
+            "_zkey", zkey_expr_zorder(F.col("n_tok"), F.xxhash64(F.col("doc_id")), n_tok_lo, n_tok_hi)
+        )
     udf = zkey_udf(curve, n_tok_lo, n_tok_hi)
     return df.withColumn("_zkey", udf(F.col("n_tok"), F.xxhash64(F.col("doc_id"))))

@@ -8,7 +8,7 @@ any DataFrame → queryable single-file databases, with the same
 cross-format count-parity validation.
 
 DuckDB ingests the parquet directly (zero-copy of the columnar format);
-SQLite goes through a bounded-size Arrow batch iterator — no
+SQLite streams through ``toLocalIterator`` one partition at a time — no
 collect-the-world on the driver."""
 
 from __future__ import annotations
@@ -37,7 +37,13 @@ def compile_duckdb(df: DataFrame, out_path: str, table_name: str, tmp_dir: str) 
 
 
 def compile_sqlite(df: DataFrame, out_path: str, table_name: str, batch_size: int = 10_000) -> int:
-    """DataFrame → .sqlite file via Arrow batches (bounded driver memory)."""
+    """DataFrame → .sqlite file with bounded driver memory.
+
+    ``df.toArrow()`` would materialize the WHOLE table on the driver
+    before batching (at design scale that OOMs); ``toLocalIterator``
+    instead streams one task-partition at a time — peak driver memory is
+    one partition, regardless of table size. The artifact itself is
+    inherently single-node; only the transfer must be bounded."""
     if os.path.exists(out_path):
         os.remove(out_path)
     schema = df.schema
@@ -57,10 +63,16 @@ def compile_sqlite(df: DataFrame, out_path: str, table_name: str, batch_size: in
         con.execute(f"CREATE TABLE {table_name} ({cols})")
         placeholders = ", ".join("?" for _ in schema.fields)
         n = 0
-        for batch in df.toArrow().to_batches(max_chunksize=batch_size):
-            rows = list(zip(*[c.to_pylist() for c in batch.columns]))
-            con.executemany(f"INSERT INTO {table_name} VALUES ({placeholders})", rows)
-            n += len(rows)
+        pending: list[tuple] = []
+        for row in df.toLocalIterator(prefetchPartitions=True):
+            pending.append(tuple(row))
+            if len(pending) >= batch_size:
+                con.executemany(f"INSERT INTO {table_name} VALUES ({placeholders})", pending)
+                n += len(pending)
+                pending = []
+        if pending:
+            con.executemany(f"INSERT INTO {table_name} VALUES ({placeholders})", pending)
+            n += len(pending)
         con.commit()
         return n
     finally:

@@ -136,7 +136,9 @@ def test_concurrent_commit_rejected(table):
 def test_expire_and_gc_keep_current_reachable(table):
     rows_before = sig_rows(table)
     table.expire_snapshots(keep_last=1)
-    report = table.collect_garbage()
+    # min_age_s=0: this test targets reachability; the age guard is
+    # covered by test_gc_min_age_protects_fresh_orphans
+    report = table.collect_garbage(min_age_s=0)
     assert report["removed_data_files"], "expected orphaned pre-compaction files to be removed"
     assert sig_rows(table) == rows_before
     # removed files are really gone; reachable files all exist

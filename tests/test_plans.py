@@ -74,3 +74,33 @@ def test_whole_stage_codegen_covers_agg(spark):
     # '*(n)' prefixes mark WholeStageCodegen stages in the tree string
     assert "*(2) HashAggregate" in plan or "*(1) HashAggregate" in plan
     assert "isFinalPlan=true" in plan
+
+
+def test_topk_is_heap_not_global_sort(spark):
+    """Top-k queries must pre-limit via TakeOrderedAndProject (per-
+    partition heap top-k) so the global rank window never sees the full
+    input in one task — the round-1 scale bottleneck of these queries."""
+    from hoopstat_haus_spark.operators.windows import part_leaderboard
+
+    plan = plan_of(part_leaderboard(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    # the single-partition window must sit ABOVE the limit, not above the scan
+    above_limit = plan.split("TakeOrderedAndProject")[0]
+    assert "Window" in above_limit  # window consumes the limited rows
+
+
+def test_ngram_topk_pre_limits_before_global_window(spark):
+    from hoopstat_haus_spark.text.dedup import ngram_jaccard_top_pairs
+
+    plan = plan_of(ngram_jaccard_top_pairs(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_zkey_is_pure_jvm_no_python_stage(spark):
+    """The Morton key path must contain no Python/Arrow eval stage —
+    per-task Python-worker costs tax the bigger cluster 4× harder."""
+    from hoopstat_haus_spark.lakehouse.zorder import with_zkey
+
+    df = with_zkey(synthetic(spark, 100))
+    plan = plan_of(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -79,3 +79,43 @@ def test_ingest_with_quarantine_then_replay(spark, tmp_table_dir):
 
     # replay is idempotent once resolved
     assert replay(t) == {"replayed": 0, "resolved": 0, "still_failed": 0}
+
+
+def test_replay_dedupes_same_doc_across_batches(spark, tmp_table_dir):
+    """The same doc quarantined in two batches (different corruption)
+    must MERGE as ONE deterministic winner, preserving the
+    one-token-array-per-doc_id invariant."""
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 100), repartition_n=2)
+    base = synthetic(spark, 1).select("doc_id", "tokens", "n_tok", "source")
+    bad1 = base.withColumn("n_tok", F.col("n_tok") + 1)  # length_mismatch
+    bad2 = base.withColumn("n_tok", F.col("n_tok") + 2)  # same doc, again
+    quarantine_batch(t, classify(bad1).filter(F.col("_error_class") != "ok"))
+    quarantine_batch(t, classify(bad2).filter(F.col("_error_class") != "ok"))
+    assert read_quarantine(t).count() == 2
+
+    report = replay(t, error_classes=[ERROR_LENGTH])
+    assert report["replayed"] == 2
+    key = base.collect()[0]["doc_id"]
+    assert t.scan().filter(F.col("doc_id") == key).count() == 1
+
+
+def test_sidecar_pointer_survives_replay(spark, tmp_table_dir):
+    """After replay the live sidecar resolves through the pointer file;
+    reads keep working and the pre-swap dir is gone (single atomic
+    os.replace swap — no window with no sidecar at all)."""
+    import os
+
+    from hoopstat_haus_spark.lakehouse.quarantine import quarantine_dir
+
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 100), repartition_n=2)
+    batch = corrupted_batch(spark)
+    _, rejected = validate_batch(batch)
+    quarantine_batch(t, rejected)
+    before_dir = quarantine_dir(t)
+    replay(t)
+    after_dir = quarantine_dir(t)
+    assert after_dir != before_dir
+    assert os.path.exists(os.path.join(t.path, "_quarantine_ptr"))
+    assert not os.path.isdir(before_dir)
+    # still-failed rows remain readable through the pointer
+    assert read_quarantine(t).count() > 0

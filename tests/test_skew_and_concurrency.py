@@ -54,3 +54,76 @@ def test_concurrent_compactions_one_wins(spark, tmp_table_dir):
     assert t.log.current_id() == snap1.snapshot_id
     rows = t.scan().count()
     assert rows == 4000
+
+
+def test_commit_exclusive_creation_beats_check_then_act(spark, tmp_table_dir):
+    """Two writers that BOTH read head=N must not both commit v(N+1):
+    the second exclusive create of v(N+1).json fails even though its
+    expected_parent check passed (simulated by pre-creating the version
+    file another writer would have just written)."""
+    import os
+
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 1000), repartition_n=2)
+    head = t.log.current_id()
+    # writer A commits v(head+1) out-of-band (both writers read head)
+    with open(os.path.join(t.path, "_snapshots", f"v{head + 1}.json"), "w") as f:
+        f.write("{}")
+    with pytest.raises(ConcurrentCommitError):
+        t.log.commit("manifest-from-writer-b", "compact", expected_parent=head)
+
+
+def test_gc_min_age_protects_fresh_orphans(spark, tmp_table_dir):
+    """A young unreachable file (possibly an in-flight job's staged
+    output) survives GC; with the guard disabled it is collected."""
+    import os
+
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 1000), repartition_n=2)
+    orphan = os.path.join(t.path, "data", "source=web", "orphan-000.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not-a-real-parquet")
+    report = t.collect_garbage()  # default min-age: keep
+    assert "data/source=web/orphan-000.parquet" not in report["removed_data_files"]
+    assert os.path.exists(orphan)
+    report = t.collect_garbage(min_age_s=0)
+    assert "data/source=web/orphan-000.parquet" in report["removed_data_files"]
+    assert not os.path.exists(orphan)
+
+
+def test_gc_spares_checkpointed_outputs_and_live_staging(spark, tmp_table_dir):
+    """GC during a crashed-but-resumable compaction must keep (a) unit
+    outputs recorded in the job checkpoint (staged into data dirs but in
+    no manifest yet) and (b) the job's .staging tree — the resume
+    contract depends on both."""
+    import os
+
+    from hoopstat_haus_spark.lakehouse.checkpoint import JobCheckpoint
+
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 1000), repartition_n=2)
+    # simulate a crashed job: one done unit whose output is an orphan file
+    out_rel = "data/source=web/compact-crashjob-00000.parquet"
+    with open(os.path.join(t.path, out_rel), "wb") as f:
+        f.write(b"staged-output")
+    ckpt = JobCheckpoint(t.path, "crashjob")
+    ckpt.done("web", ["data/source=web/whatever.parquet"], [out_rel], rows=1, tokens=1, duration_s=0.1)
+    staging_dir = os.path.join(t.path, ".staging", "crashjob", "web")
+    os.makedirs(staging_dir)
+    with open(os.path.join(staging_dir, "part-0.parquet"), "wb") as f:
+        f.write(b"in-flight")
+
+    report = t.collect_garbage(min_age_s=0)  # even with age guard off
+    assert out_rel not in report["removed_data_files"]
+    assert os.path.exists(os.path.join(t.path, out_rel))
+    assert ".staging/crashjob" not in report.get("removed_staging", [])
+    assert os.path.isdir(staging_dir)
+
+
+def test_merge_rejects_duplicate_update_keys(spark, tmp_table_dir):
+    """Iceberg MERGE semantics: duplicate (doc_id, source) in the update
+    set must fail loudly, not fan out matched rows."""
+    from hoopstat_haus_spark.lakehouse.merge import merge_into
+
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 1000), repartition_n=2)
+    one = t.scan().limit(1).select("doc_id", "tokens", "n_tok", "source")
+    dup = one.unionByName(one)
+    with pytest.raises(ValueError, match="duplicate update key"):
+        merge_into(t, dup)

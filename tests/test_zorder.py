@@ -66,3 +66,27 @@ def test_scale_to_bits_clamps_and_spans():
     out = _scale_to_bits(v, 0, 512, 8)
     assert out[0] == 0 and out[1] == 0
     assert out[2] == 255 and out[3] == 255
+
+
+def test_jvm_zkey_expr_matches_arrow_kernel(spark):
+    """The production Morton path is a native Column expression; it must
+    stay bit-exact with the Arrow kernel across clamp edges and the full
+    signed hash range."""
+    from pyspark.sql import functions as F
+
+    from hoopstat_haus_spark.lakehouse.zorder import zkey_expr_zorder, zkey_udf
+
+    df = spark.range(0, 100000).select(
+        (F.pmod(F.col("id") * 7919, F.lit(6000)) - F.lit(500)).cast("int").alias("n_tok"),
+        F.xxhash64(F.col("id").cast("string")).alias("h"),
+    )
+    udf = zkey_udf("zorder", 0, 4096)
+    mism = (
+        df.select(
+            zkey_expr_zorder(F.col("n_tok"), F.col("h"), 0, 4096).alias("jvm"),
+            udf(F.col("n_tok"), F.col("h")).alias("arrow"),
+        )
+        .filter(F.col("jvm") != F.col("arrow"))
+        .count()
+    )
+    assert mism == 0
