@@ -3,12 +3,12 @@
 Run as: ``python -m hoopstat_haus_spark.bench_maintenance --cpus N
 --docs M [--iters K]`` — prints ONE JSON line. With ``--serve`` the
 process instead stays resident: it prints a READY line, then runs one
-iteration per "RUN" line on stdin, emitting one JSON sample line each —
-bench.py starts one server per level (N and 4N) and INTERLEAVES their
-iterations so both levels sample the same host-throttle windows
-(BENCH.md: round-1 showed the two levels can land in different windows
-when run back-to-back, skewing the efficiency ratio in either
-direction).
+iteration per "RUN" line on stdin, emitting one JSON sample line each.
+bench.py uses serve mode to run the TENANT-EQUALIZED two-level
+comparison: one local[4N] server vs four concurrent local[N] tenant
+servers, so both levels keep 4N cores busy and the host's few-core
+turbo / steal asymmetry cancels out of the efficiency ratio (see
+BENCH.md "Two-cluster-size evidence").
 
 Methodology (this sandbox's host throttles CPU stochastically, ~2-4×
 swings minute-to-minute):

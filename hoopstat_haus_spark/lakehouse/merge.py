@@ -192,4 +192,8 @@ def merge_into(
         },
         expected_parent=head.snapshot_id,
     )
-    return snap, metrics.finish()
+    metrics.finish()
+    from hoopstat_haus_spark.lakehouse.health import record_job_metrics
+
+    record_job_metrics(table.path, metrics, "merge", snapshot_id=snap.snapshot_id)
+    return snap, metrics

@@ -305,7 +305,11 @@ class TokenLakeTable:
             ),
             expected_parent=head.snapshot_id,
         )
-        return snap, metrics.finish()
+        metrics.finish()
+        from hoopstat_haus_spark.lakehouse.health import record_job_metrics
+
+        record_job_metrics(self.path, metrics, "compact", snapshot_id=snap.snapshot_id)
+        return snap, metrics
 
     # -------------------------------------- incremental planning (M8)
     def changed_partitions_since(self, snapshot_id: int) -> dict[str, dict]:

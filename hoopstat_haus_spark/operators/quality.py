@@ -36,14 +36,23 @@ def completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def iqr_outliers(spark: SparkSession, sf_dir: str, exact: bool = True) -> DataFrame:
     """Q2 (IQR mode): flag rows outside [q1 - 1.5·IQR, q3 + 1.5·IQR]
-    (quality.py:64-126). Exact percentiles via one tiny global agg that
-    Catalyst broadcasts back — no driver round-trip."""
+    (quality.py:64-126). Percentiles via one tiny global agg that
+    Catalyst broadcasts back — no driver round-trip.
+
+    ``exact=True`` (the oracle gate) uses ``F.percentile`` — a full sort
+    per group, required for quantile_cont parity. Production at 100 TB
+    passes ``exact=False`` → ``percentile_approx`` (t-digest sketch,
+    single streaming pass, mergeable map-side); quartile error of a
+    10k-centroid sketch moves the fence by ≪ the 1.5·IQR margin."""
     o = load(spark, sf_dir, "orders")
+    pct = F.percentile if exact else (
+        lambda c, p: F.percentile_approx(c, p, F.lit(10000))
+    )
     q = o.agg(
-        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
-        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
+        pct("o_totalprice", F.lit(0.25)).alias("q1"),
+        pct("o_totalprice", F.lit(0.75)).alias("q3"),
     )
     j = o.crossJoin(F.broadcast(q))
     iqr = F.col("q3") - F.col("q1")

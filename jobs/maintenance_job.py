@@ -11,7 +11,9 @@ Subcommands:
     compact   bin-pack + Z-order/Hilbert rewrite (resumable via --job-id)
     merge     MERGE INTO from an updates parquet path
     expire    snapshot expiry + reachability GC
+    evolve    add columns to the table schema (metadata-only)
     stats     print current snapshot summary + per-partition manifest rollup
+    health    roll up per-job metrics into the pipeline health report
 
 On a cluster the session comes from spark-submit's conf; local runs fall
 back to the tuned local factory. Every job prints one JSON metrics line
@@ -64,6 +66,19 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("stats")
     s.add_argument("--table", required=True)
 
+    ev = sub.add_parser("evolve")
+    ev.add_argument("--table", required=True)
+    ev.add_argument(
+        "--add",
+        required=True,
+        action="append",
+        help="name:type[:default], e.g. lang:string:und (repeatable)",
+    )
+
+    h = sub.add_parser("health")
+    h.add_argument("--table", required=True)
+    h.add_argument("--lookback-jobs", type=int, default=50)
+
     args = ap.parse_args(argv)
     spark = _spark()
 
@@ -111,6 +126,29 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+    elif args.cmd == "evolve":
+        fields = []
+        for spec in args.add:
+            parts = spec.split(":")
+            if len(parts) not in (2, 3):
+                raise SystemExit(f"bad --add spec {spec!r}, want name:type[:default]")
+            fields.append(
+                {"name": parts[0], "type": parts[1], "default": parts[2] if len(parts) == 3 else None}
+            )
+        snap = table.evolve_schema(fields)
+        print(
+            json.dumps(
+                {
+                    "snapshot": snap.snapshot_id,
+                    "schema_version": snap.summary.get("schema_version"),
+                    "added": fields,
+                }
+            )
+        )
+    elif args.cmd == "health":
+        from hoopstat_haus_spark.lakehouse.health import health_report
+
+        print(json.dumps(health_report(table.path, lookback_jobs=args.lookback_jobs)))
     elif args.cmd == "stats":
         snap = table.log.current()
         entries = table.manifest_entries()
