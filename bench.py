@@ -52,6 +52,13 @@ def run_queries() -> dict[str, float]:
 
     spark = get_spark(app_name="bench-queries", cpus=CPUS)
     queries = registry.all_queries()
+    # JVM/JIT + parquet-reader warmup so the first headline query isn't
+    # charged the one-time C2-compile cost (BENCH.md: first big job per
+    # JVM is 3-10x slow); the timed numbers are warm-JVM per-query cost
+    from pyspark.sql import functions as F
+
+    spark.range(0, 2_000_000).agg(F.sum("id")).collect()
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1000).collect()
     out: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()

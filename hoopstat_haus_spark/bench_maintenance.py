@@ -118,6 +118,11 @@ def main() -> None:
             }
         finally:
             shutil.rmtree(clone, ignore_errors=True)
+            # shuffle files in spark.local.dir (tmpfs = RAM) are only
+            # dropped by ContextCleaner after a JVM GC; without this,
+            # ~3 GB accrues per iteration and later iterations measure
+            # memory pressure, not the engine (observed 70→248 s drift)
+            spark.sparkContext._jvm.System.gc()
 
     if args.serve:
         print(json.dumps({"ready": True, "cpus": args.cpus}), flush=True)

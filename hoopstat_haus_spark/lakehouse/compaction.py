@@ -146,6 +146,56 @@ def output_file_count(total_bytes: int, policy: CompactionPolicy) -> int:
     return max(1, math.ceil(total_bytes / policy.target_file_bytes))
 
 
+_BOUNDS_GRID = 256
+
+
+def plan_unit_bounds(
+    spark: SparkSession,
+    table_path: str,
+    unit_paths: dict[str, list[str]],
+    unit_n_out: dict[str, int],
+    curve: str = "zorder",
+) -> dict[str, list[int]]:
+    """Range boundaries for EVERY pending unit from ONE skinny job.
+
+    Per-unit boundary estimation serializes a scan+agg job into each
+    unit's critical path; here a single column-pruned, ¼-hash-sampled
+    pass over ALL victim files computes a fixed {grid} -quantile sketch
+    per partition, and each unit's n_out−1 boundaries are read off the
+    grid driver-side (grid granularity ≥ 4× any realistic n_out, so the
+    extra rounding shifts file sizes by ≪ the target/max headroom).
+    One scan instead of one per unit — and unit jobs start immediately.
+    """
+    all_paths = [p for paths in unit_paths.values() for p in paths]
+    if not all_paths:
+        return {}
+    data_dir = os.path.join(table_path, "data")
+    skinny = (
+        spark.read.option("basePath", data_dir)
+        .parquet(*[os.path.join(table_path, p) for p in all_paths])
+        .select("source", "doc_id", "n_tok")
+        .filter(F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(4)) == 0)
+    )
+    skinny = with_zkey(skinny, curve=curve)
+    fracs = [i / _BOUNDS_GRID for i in range(1, _BOUNDS_GRID)]
+    rows = (
+        skinny.groupBy("source")
+        .agg(F.percentile_approx("_zkey", F.array(*[F.lit(f) for f in fracs]), F.lit(5000)).alias("g"))
+        .collect()
+    )
+    grids = {r["source"]: r["g"] for r in rows}
+    out: dict[str, list[int]] = {}
+    for part, n_out in unit_n_out.items():
+        grid = grids.get(part)
+        if n_out <= 1 or not grid or n_out > _BOUNDS_GRID // 4:
+            continue  # huge unit: grid too coarse → per-unit estimation
+        out[part] = [
+            int(grid[min(len(grid) - 1, max(0, round(j * _BOUNDS_GRID / n_out) - 1))])
+            for j in range(1, n_out)
+        ]
+    return out
+
+
 def compact_partition(
     spark: SparkSession,
     table_path: str,
@@ -157,6 +207,7 @@ def compact_partition(
     curve: str = "zorder",
     strategy: str = "sort",
     read_ddl: str | None = None,
+    bounds: list[int] | None = None,
 ) -> list[str]:
     """Rewrite one partition's victim files; returns new relative paths.
 
@@ -180,32 +231,38 @@ def compact_partition(
     if strategy == "sort":
         df = with_zkey(df, curve=curve)
         if n_out > 1:
-            # boundary estimation on a COLUMN-PRUNED scan: reads only
-            # (doc_id, n_tok) — a few % of bytes since `tokens` never
-            # loads — further thinned to a deterministic ~1/4 hash sample
-            # (RangePartitioner samples too; boundary error shifts file
-            # sizes a few %, well under the target/max headroom)
-            skinny = (
-                spark.read.option("basePath", data_dir)
-                .parquet(*abs_paths)
-                .select("doc_id", "n_tok")
-                .filter(F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(4)) == 0)
-            )
-            skinny = with_zkey(skinny, curve=curve)
-            fracs = [i / n_out for i in range(1, n_out)]
-            bounds = skinny.agg(
-                F.percentile_approx("_zkey", F.array(*[F.lit(f) for f in fracs]), F.lit(5000))
-            ).collect()[0][0]
-            if not bounds:  # degenerate unit: sample came up empty
-                full = with_zkey(
+            if bounds is None:
+                # boundary estimation on a COLUMN-PRUNED scan: reads
+                # only (doc_id, n_tok) — a few % of bytes since `tokens`
+                # never loads — thinned to a deterministic ~1/4 hash
+                # sample (RangePartitioner samples too; boundary error
+                # shifts file sizes a few %, well under target/max
+                # headroom). Callers that plan many units should pass
+                # precomputed ``bounds`` from plan_unit_bounds() — ONE
+                # job for all units instead of one per unit.
+                skinny = (
                     spark.read.option("basePath", data_dir)
                     .parquet(*abs_paths)
-                    .select("doc_id", "n_tok"),
-                    curve=curve,
+                    .select("doc_id", "n_tok")
+                    .filter(F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(4)) == 0)
                 )
-                bounds = full.agg(
+                skinny = with_zkey(skinny, curve=curve)
+                fracs = [i / n_out for i in range(1, n_out)]
+                bounds = skinny.agg(
                     F.percentile_approx("_zkey", F.array(*[F.lit(f) for f in fracs]), F.lit(5000))
-                ).collect()[0][0] or [0] * (n_out - 1)
+                ).collect()[0][0]
+                if not bounds:  # degenerate unit: sample came up empty
+                    full = with_zkey(
+                        spark.read.option("basePath", data_dir)
+                        .parquet(*abs_paths)
+                        .select("doc_id", "n_tok"),
+                        curve=curve,
+                    )
+                    bounds = full.agg(
+                        F.percentile_approx(
+                            "_zkey", F.array(*[F.lit(f) for f in fracs]), F.lit(5000)
+                        )
+                    ).collect()[0][0] or [0] * (n_out - 1)
             b_arr = F.array(*[F.lit(int(b)) for b in bounds])
             bucket = F.aggregate(
                 b_arr, F.lit(0), lambda acc, b: acc + F.when(F.col("_zkey") > b, 1).otherwise(0)

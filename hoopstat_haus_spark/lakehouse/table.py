@@ -28,7 +28,9 @@ from hoopstat_haus_spark.lakehouse.checkpoint import JobCheckpoint
 from hoopstat_haus_spark.lakehouse.compaction import (
     CompactionPolicy,
     compact_partition,
+    output_file_count,
     plan_compaction,
+    plan_unit_bounds,
 )
 from hoopstat_haus_spark.lakehouse.metrics import JobMetrics
 from hoopstat_haus_spark.lakehouse.schema import TableSchema, evolved, read_schema, write_schema
@@ -240,6 +242,18 @@ class TokenLakeTable:
                 pending.append((part, inputs))
 
         read_ddl = self.schema_def().ddl(extra=((mf.ZKEY_COL, "long"),))
+        unit_bounds: dict[str, list[int]] = {}
+        if strategy == "sort" and pending:
+            unit_bounds = plan_unit_bounds(
+                self.spark,
+                self.path,
+                {part: [f["file_path"] for f in inputs] for part, inputs in pending},
+                {
+                    part: output_file_count(sum(f["file_bytes"] for f in inputs), policy)
+                    for part, inputs in pending
+                },
+                curve=curve,
+            )
 
         def _run_unit(part: str, inputs: list[dict]) -> list[str]:
             in_paths = [f["file_path"] for f in inputs]
@@ -256,6 +270,7 @@ class TokenLakeTable:
                 curve=curve,
                 strategy=strategy,
                 read_ddl=read_ddl,
+                bounds=unit_bounds.get(part),
             )
             ckpt.done(
                 part,
@@ -279,17 +294,25 @@ class TokenLakeTable:
             # whole map stage (e.g. 1 GB hot partition → 8 read tasks on
             # 16+ cores). Target ≈ 3 waves of map tasks per core.
             conf_key = "spark.sql.files.maxPartitionBytes"
+            aqe_key = "spark.sql.adaptive.enabled"
             par = self.spark.sparkContext.defaultParallelism
             total_in = sum(f["file_bytes"] for _p, inputs in pending for f in inputs)
             sized = min(128 << 20, max(4 << 20, total_in // max(par * 3, 1)))
             prev = self.spark.conf.get(conf_key)
+            prev_aqe = self.spark.conf.get(aqe_key)
             self.spark.conf.set(conf_key, str(sized))
+            # AQE's per-shuffle-stage materialization barrier buys
+            # nothing here — bucket routing is explicit and the key is
+            # near-unique (no skew to re-plan) — and costs 8-20% wall
+            # (interleaved A/B, BENCH.md). Queries keep AQE.
+            self.spark.conf.set(aqe_key, "false")
             try:
                 with ThreadPoolExecutor(max_workers=workers) as pool:
                     for out in pool.map(lambda pu: _run_unit(*pu), pending):
                         new_files.extend(out)
             finally:
                 self.spark.conf.set(conf_key, prev)
+                self.spark.conf.set(aqe_key, prev_aqe)
 
         new_entries = [e for e in entries if e["file_path"] not in rewritten]
         fresh = mf.compute_file_stats(self.spark, self.path, new_files)

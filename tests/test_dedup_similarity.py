@@ -100,3 +100,20 @@ def test_embedding_near_dup_finds_planted_duplicates(spark, tmp_path):
     pairs = {(r["id1"], r["id2"]) for r in embedding_near_dups(spark, out, threshold=0.99).collect()}
     expected = {(i, i + 10000) for i in range(0, 500, 50)}
     assert expected <= pairs, f"missed planted dups: {expected - pairs}"
+
+
+def test_ivf_ann_recall_vs_brute_force(spark):
+    """IVF with n_probe/n_lists = 4/16 scans ~25% of the corpus per
+    query; its top-5 must substantially overlap exact brute force."""
+    from hoopstat_haus_spark.similarity.ann import ivf_topk
+
+    truth = brute_force_topk(spark, SF, k=5).collect()
+    approx = ivf_topk(spark, SF, k=5).collect()
+    t = {}
+    for r in truth:
+        t.setdefault(r["q_id"], set()).add(r["vec_id"])
+    a = {}
+    for r in approx:
+        a.setdefault(r["q_id"], set()).add(r["vec_id"])
+    recalls = [len(t[q] & a.get(q, set())) / len(t[q]) for q in t]
+    assert sum(recalls) / len(recalls) >= 0.4, f"mean recall too low: {recalls}"
