@@ -47,7 +47,8 @@ def test_minhash_signature_shape_and_determinism(spark):
     a = {r["doc_id"]: tuple(r["sig"]) for r in minhash_signatures(d).collect()}
     b = {r["doc_id"]: tuple(r["sig"]) for r in minhash_signatures(d).collect()}
     assert a == b
-    assert all(len(s) == 32 for s in a.values())
+    from hoopstat_haus_spark.text.dedup import N_HASHES
+    assert all(len(s) == N_HASHES for s in a.values())
 
 
 def test_simhash_close_pairs_have_close_bags(spark):
