@@ -49,9 +49,12 @@ def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti-join complement of J5 (NOT EXISTS)."""
+    """Anti-join complement of J5 (NOT EXISTS). Restricted to 1998
+    orders so the gate is non-vacuous: every customer in the fixture
+    has SOME order, but several have none in 1998 — the anti-join path
+    is actually exercised, not trivially empty."""
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.lit("1998-01-01"))
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
@@ -131,7 +134,8 @@ ORACLE = {
     """,
     "join_customers_without_orders": """
         SELECT c_custkey AS custkey, c_name AS name FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '1998-01-01')
         ORDER BY custkey
     """,
     "join_customer_latest_order": """

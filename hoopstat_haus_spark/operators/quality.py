@@ -45,23 +45,33 @@ def iqr_outliers(spark: SparkSession, sf_dir: str, exact: bool = True) -> DataFr
     per group, required for quantile_cont parity. Production at 100 TB
     passes ``exact=False`` → ``percentile_approx`` (t-digest sketch,
     single streaming pass, mergeable map-side); quartile error of a
-    10k-centroid sketch moves the fence by ≪ the 1.5·IQR margin."""
-    o = load(spark, sf_dir, "orders")
+    10k-centroid sketch moves the fence by ≪ the 1.5·IQR margin.
+
+    The fixture's totalprice is uniform (no IQR outliers exist), so
+    outliers are injected deterministically (every 997th order ×7, the
+    :func:`zscore_outliers` convention) — without this the gate passes
+    vacuously on an empty result."""
+    o = load(spark, sf_dir, "orders").withColumn(
+        "price",
+        F.when(F.col("o_orderkey") % 997 == 0, F.col("o_totalprice") * 7).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
     pct = F.percentile if exact else (
         lambda c, p: F.percentile_approx(c, p, F.lit(10000))
     )
     q = o.agg(
-        pct("o_totalprice", F.lit(0.25)).alias("q1"),
-        pct("o_totalprice", F.lit(0.75)).alias("q3"),
+        pct("price", F.lit(0.25)).alias("q1"),
+        pct("price", F.lit(0.75)).alias("q3"),
     )
     j = o.crossJoin(F.broadcast(q))
     iqr = F.col("q3") - F.col("q1")
-    is_out = (F.col("o_totalprice") < F.col("q1") - 1.5 * iqr) | (
-        F.col("o_totalprice") > F.col("q3") + 1.5 * iqr
+    is_out = (F.col("price") < F.col("q1") - 1.5 * iqr) | (
+        F.col("price") > F.col("q3") + 1.5 * iqr
     )
     return (
         j.filter(is_out)
-        .select(F.col("o_orderkey").alias("orderkey"), F.round("o_totalprice", 2).alias("totalprice"))
+        .select(F.col("o_orderkey").alias("orderkey"), F.round("price", 2).alias("totalprice"))
         .orderBy("orderkey")
     )
 
@@ -161,12 +171,16 @@ ORACLE = {
         FROM {_GAPPED} e
     """,
     "q_iqr_outliers": """
-        WITH q AS (
-          SELECT quantile_cont(o_totalprice, 0.25) AS q1, quantile_cont(o_totalprice, 0.75) AS q3 FROM orders
+        WITH o AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 997 = 0 THEN o_totalprice * 7 ELSE o_totalprice END AS price
+          FROM orders
+        ), q AS (
+          SELECT quantile_cont(price, 0.25) AS q1, quantile_cont(price, 0.75) AS q3 FROM o
         )
-        SELECT o_orderkey AS orderkey, ROUND(o_totalprice, 2) AS totalprice
-        FROM orders, q
-        WHERE o_totalprice < q1 - 1.5*(q3-q1) OR o_totalprice > q3 + 1.5*(q3-q1)
+        SELECT o_orderkey AS orderkey, ROUND(price, 2) AS totalprice
+        FROM o, q
+        WHERE price < q1 - 1.5*(q3-q1) OR price > q3 + 1.5*(q3-q1)
         ORDER BY orderkey
     """,
     "q_zscore_outliers": """
