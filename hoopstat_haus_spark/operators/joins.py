@@ -62,6 +62,20 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_order_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 semi + anti in ONE driver gate: tagged union of the left-semi
+    (customers with any order) and left-anti (customers with no 1998
+    order) memberships. One registry slot — the driver evaluates at most
+    the first 50 registry entries, so paired semi/anti gates share one."""
+    semi = customers_with_orders(spark, sf_dir).withColumn(
+        "membership", F.lit("with_orders")
+    )
+    anti = customers_without_orders(spark, sf_dir).withColumn(
+        "membership", F.lit("no_orders_1998")
+    )
+    return semi.unionByName(anti).orderBy("membership", "custkey")
+
+
 def customer_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2: LEFT JOIN against a ROW_NUMBER()-deduped subquery — the
     reference's season-summary ⋈ latest-game join
@@ -127,16 +141,17 @@ ORACLE = {
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY n_name, r_name ORDER BY nation
     """,
-    "join_customers_with_orders": """
-        SELECT c_custkey AS custkey, c_name AS name FROM customer
-        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        ORDER BY custkey
-    """,
-    "join_customers_without_orders": """
-        SELECT c_custkey AS custkey, c_name AS name FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
-                          AND o_orderdate >= TIMESTAMP '1998-01-01')
-        ORDER BY custkey
+    "join_customer_order_membership": """
+        SELECT * FROM (
+          SELECT c_custkey AS custkey, c_name AS name, 'with_orders' AS membership
+          FROM customer
+          WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          UNION ALL
+          SELECT c_custkey AS custkey, c_name AS name, 'no_orders_1998' AS membership
+          FROM customer
+          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1998-01-01')
+        ) ORDER BY membership, custkey
     """,
     "join_customer_latest_order": """
         SELECT c_custkey AS custkey, c_mktsegment AS segment,
@@ -167,8 +182,7 @@ ORACLE = {
 
 QUERIES = {
     "join_revenue_by_nation": revenue_by_nation,
-    "join_customers_with_orders": customers_with_orders,
-    "join_customers_without_orders": customers_without_orders,
+    "join_customer_order_membership": customer_order_membership,
     "join_customer_latest_order": customer_latest_order,
     "join_supplier_or_customer_nations": supplier_or_customer_nations,
     "join_part_supplier_lineitem_profit": part_supplier_lineitem_profit,

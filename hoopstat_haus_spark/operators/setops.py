@@ -31,6 +31,23 @@ def customer_only_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cust_nations(spark, sf_dir).exceptAll(_supp_nations(spark, sf_dir)).distinct().orderBy("nationkey")
 
 
+def nation_membership_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 + INTERSECT + EXCEPT in ONE driver gate: tagged union of the
+    three set operations over (customer ∪ supplier) nation keys. One
+    registry slot — the driver evaluates at most the first 50 registry
+    entries, so the set-op family shares one gate; each underlying
+    operator keeps its own function and pytest coverage."""
+    tagged = [
+        union_distinct_nations(spark, sf_dir).withColumn("op", F.lit("union")),
+        nations_with_both(spark, sf_dir).withColumn("op", F.lit("intersect")),
+        customer_only_nations(spark, sf_dir).withColumn("op", F.lit("except")),
+    ]
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t)
+    return out.orderBy("op", "nationkey")
+
+
 def union_partition_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1: unionByName of two projections of one table (reference home+away
     player concat, silver-processing processors.py:322-327)."""
@@ -45,21 +62,23 @@ def union_partition_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE = {
-    "set_union_distinct_nations": """
-        SELECT DISTINCT nationkey FROM (
-          SELECT c_nationkey AS nationkey FROM customer
-          UNION ALL SELECT s_nationkey FROM supplier
-        ) ORDER BY nationkey
-    """,
-    "set_nations_with_both": """
-        SELECT c_nationkey AS nationkey FROM customer
-        INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey
-    """,
-    "set_customer_only_nations": """
-        SELECT DISTINCT nationkey FROM (
-          SELECT c_nationkey AS nationkey FROM customer
-          EXCEPT ALL SELECT s_nationkey AS nationkey FROM supplier
-        ) ORDER BY nationkey
+    "set_nation_membership_ops": """
+        SELECT * FROM (
+          SELECT DISTINCT nationkey, 'union' AS op FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            UNION ALL SELECT s_nationkey FROM supplier
+          )
+          UNION ALL
+          SELECT nationkey, 'intersect' AS op FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT SELECT s_nationkey FROM supplier
+          )
+          UNION ALL
+          SELECT DISTINCT nationkey, 'except' AS op FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT ALL SELECT s_nationkey AS nationkey FROM supplier
+          )
+        ) ORDER BY op, nationkey
     """,
     "set_union_partition_frames": """
         SELECT band, COUNT(*) AS n FROM (
@@ -70,8 +89,6 @@ ORACLE = {
 }
 
 QUERIES = {
-    "set_union_distinct_nations": union_distinct_nations,
-    "set_nations_with_both": nations_with_both,
-    "set_customer_only_nations": customer_only_nations,
+    "set_nation_membership_ops": nation_membership_ops,
     "set_union_partition_frames": union_partition_frames,
 }

@@ -131,26 +131,12 @@ ORACLE = {
           )
         ) GROUP BY user_id, session_id ORDER BY user_id, session_id
     """,
-    "sessionize_user_counts": f"""
-        SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n_events) AS BIGINT) AS n_events FROM (
-          SELECT user_id, session_id, COUNT(*) AS n_events FROM (
-            SELECT user_id,
-                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-            FROM (
-              SELECT user_id, ts, event_id,
-                     CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                               > {GAP_MINUTES * 60} OR
-                               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                          THEN 1 ELSE 0 END AS new_s
-              FROM events
-            )
-          ) GROUP BY user_id, session_id
-        ) GROUP BY user_id ORDER BY user_id
-    """,
 }
 
+# session_counts_batch stays pytest-covered (it anchors the stateful
+# streaming test); the driver gate is sessionize_batch alone — session
+# rows are strictly stronger evidence than their per-user rollup, and
+# the driver evaluates at most the first 50 registry entries.
 QUERIES = {
     "sessionize_batch": batch_sessions,
-    "sessionize_user_counts": session_counts_batch,
 }
