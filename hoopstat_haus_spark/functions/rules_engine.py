@@ -141,7 +141,11 @@ def fuzzy_nation_names(spark, sf_dir: str) -> DataFrame:
     nation names (insert 'X' after char 3 when key % 3 = 0), then fuzzy-
     restore them against the canonical choice list. Every row must come
     back to its canonical name (typo sim ≈ 0.89-0.9 ≥ 0.8; the nearest
-    wrong choice scores ≤ 0.8 and loses the argmax)."""
+    wrong choice scores ≤ 0.8 and loses the argmax).
+
+    The typo injection lives HERE — in the registered gate, a test
+    fixture — not in the production operator: ``apply_rules`` /
+    ``fuzzy_map`` compute true results on unmodified data."""
     n = spark.read.parquet(f"{sf_dir}/nation.parquet")
     typo = F.when(
         F.col("n_nationkey") % 3 == 0,

@@ -16,16 +16,23 @@ from pyspark.sql import functions as F
 from hoopstat_haus_spark.operators.common import load
 
 
-def _with_gaps(df: DataFrame) -> DataFrame:
-    """Deterministic NULL injection: every 7th value, every 13th props."""
+def _with_gaps(df: DataFrame, inject: bool) -> DataFrame:
+    """Deterministic NULL injection: every 7th value, every 13th props.
+
+    ``inject`` is a TEST-FIXTURE switch, defaulted OFF in every public
+    operator: the fixture tables have no NULLs, so the driver gates turn
+    it on to exercise the logic non-vacuously. Production callers get
+    the operators' true semantics on unmodified data."""
+    if not inject:
+        return df
     return df.withColumn(
         "value", F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("value"))
     ).withColumn("props", F.when(F.col("event_id") % 13 == 0, None).otherwise(F.col("props")))
 
 
-def completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+def completeness(spark: SparkSession, sf_dir: str, inject: bool = False) -> DataFrame:
     """Q1: non-null ratio per required field (quality.py:15-61)."""
-    e = _with_gaps(load(spark, sf_dir, "events"))
+    e = _with_gaps(load(spark, sf_dir, "events"), inject)
     def ratio(c):
         return F.round(F.sum(F.when(F.col(c).isNotNull(), 1).otherwise(0)) / F.count(F.lit(1)), 6)
     return e.agg(
@@ -36,7 +43,27 @@ def completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def iqr_outliers(spark: SparkSession, sf_dir: str, exact: bool = True) -> DataFrame:
+def _priced(spark: SparkSession, sf_dir: str, inject: bool) -> DataFrame:
+    """Orders with the outlier-detection input column ``price``.
+
+    ``inject=True`` (driver gates ONLY) perturbs every 997th order ×7:
+    the fixture's totalprice is uniform (no natural outliers), so an
+    unperturbed gate would pass vacuously on an empty result. Public
+    operators default ``inject=False`` and detect on real data."""
+    o = load(spark, sf_dir, "orders")
+    if not inject:
+        return o.withColumn("price", F.col("o_totalprice"))
+    return o.withColumn(
+        "price",
+        F.when(F.col("o_orderkey") % 997 == 0, F.col("o_totalprice") * 7).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+
+
+def iqr_outliers(
+    spark: SparkSession, sf_dir: str, exact: bool = True, inject: bool = False
+) -> DataFrame:
     """Q2 (IQR mode): flag rows outside [q1 - 1.5·IQR, q3 + 1.5·IQR]
     (quality.py:64-126). Percentiles via one tiny global agg that
     Catalyst broadcasts back — no driver round-trip.
@@ -45,18 +72,8 @@ def iqr_outliers(spark: SparkSession, sf_dir: str, exact: bool = True) -> DataFr
     per group, required for quantile_cont parity. Production at 100 TB
     passes ``exact=False`` → ``percentile_approx`` (t-digest sketch,
     single streaming pass, mergeable map-side); quartile error of a
-    10k-centroid sketch moves the fence by ≪ the 1.5·IQR margin.
-
-    The fixture's totalprice is uniform (no IQR outliers exist), so
-    outliers are injected deterministically (every 997th order ×7, the
-    :func:`zscore_outliers` convention) — without this the gate passes
-    vacuously on an empty result."""
-    o = load(spark, sf_dir, "orders").withColumn(
-        "price",
-        F.when(F.col("o_orderkey") % 997 == 0, F.col("o_totalprice") * 7).otherwise(
-            F.col("o_totalprice")
-        ),
-    )
+    10k-centroid sketch moves the fence by ≪ the 1.5·IQR margin."""
+    o = _priced(spark, sf_dir, inject)
     pct = F.percentile if exact else (
         lambda c, p: F.percentile_approx(c, p, F.lit(10000))
     )
@@ -76,22 +93,16 @@ def iqr_outliers(spark: SparkSession, sf_dir: str, exact: bool = True) -> DataFr
     )
 
 
-def zscore_outliers(spark: SparkSession, sf_dir: str, z: float = 3.0) -> DataFrame:
+def zscore_outliers(
+    spark: SparkSession, sf_dir: str, z: float = 3.0, inject: bool = False
+) -> DataFrame:
     """Q2 (z-score mode): |x - mean| / stddev_samp > z, reference
     ``quality.py:107-120`` (``statistics.stdev`` = sample stddev).
 
     Determinism: mean and variance derive from EXACT decimal sums
     (Σx, Σx² — order-independent), cast to double only at the end, so
-    both engines compute bit-identical z-scores. The fixture's totalprice
-    is uniform (max |z| ≈ 1.73), so outliers are injected
-    deterministically (every 997th order ×7) — the logic, not the luck,
-    is under test (same convention as :func:`_with_gaps`)."""
-    o = load(spark, sf_dir, "orders").withColumn(
-        "price",
-        F.when(F.col("o_orderkey") % 997 == 0, F.col("o_totalprice") * 7).otherwise(
-            F.col("o_totalprice")
-        ),
-    )
+    both engines compute bit-identical z-scores."""
+    o = _priced(spark, sf_dir, inject)
     x = F.col("price").cast("decimal(18,2)")
     stats = o.agg(
         F.sum(x).cast("double").alias("s"),
@@ -131,10 +142,10 @@ def consistency_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quality_score(spark: SparkSession, sf_dir: str, inject: bool = False) -> DataFrame:
     """Q4 + A14: weighted per-row score, then averaged per group
     (quality.py:185-252 + transforms.py:984-999)."""
-    e = _with_gaps(load(spark, sf_dir, "events"))
+    e = _with_gaps(load(spark, sf_dir, "events"), inject)
     completeness_part = (
         F.when(F.col("value").isNotNull(), 0.5).otherwise(0.0)
         + F.when(F.col("props").isNotNull(), 0.3).otherwise(0.0)
@@ -220,10 +231,30 @@ ORACLE = {
     """,
 }
 
+# Driver gates run with inject=True: the fixtures contain no NULLs and
+# no outliers, so the perturbation (mirrored literally in the ORACLE
+# SQL) is what keeps each gate non-vacuous. The public operators above
+# default inject=False and compute true results on unmodified data.
+def _gate_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return completeness(spark, sf_dir, inject=True)
+
+
+def _gate_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return iqr_outliers(spark, sf_dir, inject=True)
+
+
+def _gate_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zscore_outliers(spark, sf_dir, inject=True)
+
+
+def _gate_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(spark, sf_dir, inject=True)
+
+
 QUERIES = {
-    "q_completeness": completeness,
-    "q_iqr_outliers": iqr_outliers,
-    "q_zscore_outliers": zscore_outliers,
+    "q_completeness": _gate_completeness,
+    "q_iqr_outliers": _gate_iqr_outliers,
+    "q_zscore_outliers": _gate_zscore_outliers,
     "q_consistency_violations": consistency_violations,
-    "q_quality_score": quality_score,
+    "q_quality_score": _gate_quality_score,
 }

@@ -155,7 +155,12 @@ def ivf_topk(
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
     )
-    train = emb.filter(F.col("vec_id") % 3 == 0)  # deterministic sample
+    # Training sample is BOUNDED (≈256·n_lists vectors), not a corpus
+    # fraction: k-means over a fixed-size deterministic sample costs the
+    # same at 100 TB as at 1 GB. orderBy(xxhash64).limit plans as
+    # TakeOrdered (per-partition heap, no global sort materialization)
+    # and is deterministic for a fixed corpus.
+    train = emb.orderBy(F.xxhash64("vec_id"), "vec_id").limit(256 * n_lists)
     model = KMeans(k=n_lists, seed=42, maxIter=10).fit(train)
     corpus = model.transform(emb).withColumnRenamed("prediction", "cell")
 
@@ -204,22 +209,34 @@ def plant_scaled_dups(emb: DataFrame, every: int = 100, scale: float = 1.5) -> D
     return emb.select("vec_id", "embedding").unionByName(planted)
 
 
-def embedding_near_dups(spark: SparkSession, sf_dir: str, threshold: float = 0.93) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (dedup for vector corpora):
-    LSH-bucketed candidates verified by exact cosine ≥ threshold. At
-    corpus scale only bucket-mates pair up; the oracle brute-forces the
-    fixture (plus planted dups, see :func:`plant_scaled_dups`) to prove
-    no pair above threshold is missed AND none below sneaks in — i.e.,
-    it checks recall, not just precision (possible here because at
-    fixture scale brute force is exact truth; at 100 TB only the LSH
-    path runs, without planting)."""
-    emb = plant_scaled_dups(load(spark, sf_dir, "embeddings"))
-    n_planes, n_bands = 16, 8  # r=2 rows/band → s50 ≈ very permissive, high recall
+def lsh_candidate_pairs(
+    emb: DataFrame,
+    n_planes: int = 32,
+    n_bands: int = 8,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Hyperplane-LSH candidate pairs (id1 < id2), bucket-CAPPED.
+
+    Same shape as ``text.dedup.minhash_lsh_candidates``: group each
+    (band, bucket) into a sorted ``collect_list``, DROP buckets larger
+    than ``max_bucket`` (a hot bucket — a dense embedding cluster —
+    discriminates nothing and would make a banded self-join quadratic),
+    and explode pairs from the id list. One shuffle of (band, bucket,
+    vec_id); the band table never materializes twice and no bucket can
+    contribute more than max_bucket²/2 pairs.
+
+    Banding math (r = n_planes/n_bands rows per band): p_bit(c) =
+    1 − θ(c)/π, P(candidate) = 1 − (1 − p_bit^r)^b. Defaults r=4, b=8
+    → at cosine 0.93 (θ≈21.6°, p_bit≈0.88) the miss probability is
+    (1−0.60)^8 ≈ 7e-4. The bucket CAP needs bucket granularity to grow
+    with corpus size: pick r ≈ log2(N / max_bucket) per band at scale
+    (r=4 → 16 bucket values/band fits the ~500-vector fixture; a 1e9-row
+    corpus wants r≈24) — capping with too-coarse buckets silently drops
+    everything."""
     rows_per_band = n_planes // n_bands
     sig = lsh_signature(F.col("embedding"), 64, n_planes)
     banded = emb.select(
         "vec_id",
-        "embedding",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
@@ -229,29 +246,148 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str, threshold: float = 0.9
                 ),
             )
         ).alias("bb"),
-    ).select("vec_id", "embedding", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("id1"),
-            F.col("b.vec_id").alias("id2"),
-            F.col("a.embedding").alias("e1"),
-            F.col("b.embedding").alias("e2"),
-        )
-        .distinct()
+    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    groups = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
+    pairs = groups.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2")).distinct()
+
+
+def embedding_near_dups(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.93, inject: bool = False
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup for vector corpora):
+    LSH-bucketed candidates verified by exact cosine ≥ threshold. At
+    corpus scale only bucket-mates pair up, and hot buckets are capped
+    (:func:`lsh_candidate_pairs`), so candidate generation stays linear.
+
+    ``inject=True`` (driver gate ONLY) unions deterministic planted
+    near-duplicates (:func:`plant_scaled_dups`) so the fixture — which
+    has no natural dups — exercises the candidate→verify path
+    non-vacuously; the oracle brute-forces the same planted corpus to
+    prove no pair above threshold is missed AND none below sneaks in.
+    Production callers get the operator's true semantics on unmodified
+    data (inject defaults OFF)."""
+    emb = load(spark, sf_dir, "embeddings")
+    if inject:
+        emb = plant_scaled_dups(emb)
+    else:
+        emb = emb.select("vec_id", "embedding")
+    cand = lsh_candidate_pairs(emb, n_planes=32, n_bands=8)
+    e1 = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"))
+    e2 = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"))
     return (
-        cand.select("id1", "id2", F.round(cosine(F.col("e1"), F.col("e2")), 6).alias("cos"))
+        cand.join(e1, "id1")
+        .join(e2, "id2")
+        .select("id1", "id2", F.round(cosine(F.col("e1"), F.col("e2")), 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
         .orderBy("id1", "id2")
     )
+
+
+def _coverage(truth: DataFrame, cand: DataFrame) -> DataFrame:
+    """(n_truth, n_missed) in ONE pass: left-join truth against the
+    deduped candidate set and count the unmatched rows."""
+    hit = cand.dropDuplicates(["q_id", "vec_id"]).withColumn("_hit", F.lit(1))
+    return truth.join(hit, ["q_id", "vec_id"], "left").agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0)).cast("long").alias("n_missed"),
+    )
+
+
+def lsh_recall_gate(spark: SparkSession, sf_dir: str, threshold: float = 0.9) -> DataFrame:
+    """Driver-checked LSH recall invariant (replaces the old rows-only
+    ``ann_lsh_topk`` gate): compute, IN Spark, the exact truth set
+    (query, vec) pairs with cosine ≥ threshold over the planted corpus,
+    then subtract the LSH candidate pairs. ``n_missed`` MUST be 0 — the
+    oracle recomputes ``n_truth`` brute-force in DuckDB and pins
+    ``n_missed`` to the literal 0, so LSH only has to be a superset of
+    the truth set. Non-vacuous: the fixture's natural cosine ceiling is
+    ≈0.51, so the truth set is exactly the planted 1.5×-scaled dups
+    (cos ≈ 1.0), which positive scaling provably lands in the same LSH
+    buckets as their sources. Top-k shape stays in :func:`lsh_topk`
+    (pytest recall-tested)."""
+    corpus = plant_scaled_dups(load(spark, sf_dir, "embeddings"), every=50)
+    q = corpus.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 10_000_000)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    truth = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .filter(F.round(cosine(F.col("q_vec"), F.col("embedding")), 6) >= threshold)
+        .select("q_id", "vec_id")
+    )
+    pairs = lsh_candidate_pairs(corpus, n_planes=32, n_bands=8)
+    cand = pairs.select(F.col("id1").alias("q_id"), F.col("id2").alias("vec_id")).unionByName(
+        pairs.select(F.col("id2").alias("q_id"), F.col("id1").alias("vec_id"))
+    )
+    return _coverage(truth, cand)
+
+
+def ivf_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked IVF recall invariant (replaces the old rows-only
+    ``ann_ivf_topk`` gate): plant IDENTICAL copies (scale 1.0 — k-means
+    cell assignment is Euclidean, not scale-invariant, so only an exact
+    copy provably shares its source's cell, which is in turn provably
+    the query's rank-1 probe), compute the truth set (cosine rounds to
+    1.0) in Spark, and verify IVF's probed candidate pairs cover it.
+    Oracle recomputes ``n_truth`` in DuckDB; ``n_missed`` is pinned 0."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    n_lists, n_probe = 16, 4
+    corpus = plant_scaled_dups(load(spark, sf_dir, "embeddings"), every=50, scale=1.0)
+    q = corpus.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 10_000_000)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    truth = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .filter(F.round(cosine(F.col("q_vec"), F.col("embedding")), 6) >= 1.0)
+        .select("q_id", "vec_id")
+    )
+    feat = corpus.withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    train = feat.orderBy(F.xxhash64("vec_id"), "vec_id").limit(256 * n_lists)
+    model = KMeans(k=n_lists, seed=42, maxIter=10).fit(train)
+    assigned = model.transform(feat).select("vec_id", F.col("prediction").alias("cell"))
+    centers = [
+        (i, [float(x) for x in c], float(sum(x * x for x in c)))
+        for i, c in enumerate(model.clusterCenters())
+    ]
+    cent_df = spark.createDataFrame(centers, schema="cell int, center array<double>, cnorm2 double")
+    qc = q.crossJoin(F.broadcast(cent_df)).select(
+        "q_id",
+        "cell",
+        (F.col("cnorm2") - 2.0 * dot(F.col("q_vec"), F.col("center"))).alias("cdist"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.asc("cdist"), F.asc("cell"))
+    probes = qc.withColumn("prnk", F.row_number().over(wq)).filter(F.col("prnk") <= n_probe)
+    cand = assigned.join(F.broadcast(probes.select("q_id", "cell")), "cell").select(
+        "q_id", "vec_id"
+    )
+    return _coverage(truth, cand)
+
+
+def _gate_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate: planted dups ON (fixture has no natural near-dups)."""
+    return embedding_near_dups(spark, sf_dir, inject=True)
 
 
 _COS_SQL = """
@@ -261,6 +397,36 @@ _COS_SQL = """
 """
 
 ORACLE = {
+    # Recall-invariant gates: DuckDB recomputes the truth-pair count
+    # brute-force over the SAME planted corpus; n_missed is pinned to
+    # the literal 0 (the LSH/IVF side only has to be a superset of the
+    # truth set — computed entirely in Spark, subtracted there).
+    "ann_lsh_recall": f"""
+        WITH corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 10000000 AS vec_id,
+                 list_transform(embedding, x -> CAST(x * 1.5 AS FLOAT)) AS embedding
+          FROM embeddings WHERE vec_id % 50 = 0
+        )
+        SELECT COUNT(*) AS n_truth, CAST(0 AS BIGINT) AS n_missed
+        FROM corpus q JOIN corpus c
+          ON q.vec_id % 50 = 0 AND q.vec_id < 10000000 AND c.vec_id != q.vec_id
+        WHERE ROUND({_COS_SQL}, 6) >= 0.9
+    """,
+    "ann_ivf_recall": f"""
+        WITH corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 10000000 AS vec_id,
+                 list_transform(embedding, x -> CAST(x * 1.0 AS FLOAT)) AS embedding
+          FROM embeddings WHERE vec_id % 50 = 0
+        )
+        SELECT COUNT(*) AS n_truth, CAST(0 AS BIGINT) AS n_missed
+        FROM corpus q JOIN corpus c
+          ON q.vec_id % 50 = 0 AND q.vec_id < 10000000 AND c.vec_id != q.vec_id
+        WHERE ROUND({_COS_SQL}, 6) >= 1.0
+    """,
     "ann_brute_force_topk": f"""
         SELECT q_id, vec_id, cos, rnk FROM (
           SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
@@ -286,7 +452,7 @@ ORACLE = {
 
 QUERIES = {
     "ann_brute_force_topk": brute_force_topk,
-    "ann_lsh_topk": lsh_topk,
-    "ann_ivf_topk": ivf_topk,
-    "dedup_embedding_cosine": embedding_near_dups,
+    "ann_lsh_recall": lsh_recall_gate,
+    "ann_ivf_recall": ivf_recall_gate,
+    "dedup_embedding_cosine": _gate_embedding_near_dups,
 }

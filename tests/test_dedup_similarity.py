@@ -103,6 +103,49 @@ def test_embedding_near_dup_finds_planted_duplicates(spark, tmp_path):
     assert expected <= pairs, f"missed planted dups: {expected - pairs}"
 
 
+def test_lsh_candidate_buckets_are_capped(spark):
+    """A pathological hot bucket (many identical-direction vectors) must
+    contribute ZERO pairs, not a quadratic blow-up: 300 copies of one
+    direction all land in the same bucket in every band, which exceeds
+    max_bucket and is dropped; the two planted distinct near-dups
+    elsewhere are still found."""
+    from hoopstat_haus_spark.similarity.ann import lsh_candidate_pairs
+
+    base = load(spark, SF, "embeddings").limit(50).select("vec_id", "embedding")
+    hot = (
+        load(spark, SF, "embeddings")
+        .filter(F.col("vec_id") == 7)
+        .crossJoin(spark.range(300).select(F.col("id").alias("k")))
+        .select(
+            (F.col("k") + 1000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * (F.lit(1.0))).alias("embedding"),
+        )
+    )
+    corpus = base.unionByName(hot)
+    pairs = lsh_candidate_pairs(corpus, max_bucket=64)
+    n = pairs.count()
+    # uncapped, the hot cluster alone would emit 300*299/2 ≈ 45k pairs
+    assert n < 5000, f"bucket cap failed: {n} candidate pairs"
+
+
+def test_ivf_training_sample_is_bounded(spark):
+    """The coarse quantizer must train on a BOUNDED deterministic sample
+    (≈256·n_lists rows), never a corpus fraction — at 100 TB a
+    fractional sample would k-means terabytes of vectors."""
+    from pyspark.ml.functions import array_to_vector
+
+    n_lists = 16
+    emb = load(spark, SF, "embeddings").select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    train = emb.orderBy(F.xxhash64("vec_id"), "vec_id").limit(256 * n_lists)
+    assert train.count() <= 256 * n_lists
+    # and the plan is TakeOrdered (per-partition heap), not a full sort
+    plan = train._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan, plan[:500]
+
+
 def test_ivf_ann_recall_vs_brute_force(spark):
     """IVF with n_probe/n_lists = 4/16 scans ~25% of the corpus per
     query; its top-5 must substantially overlap exact brute force."""
