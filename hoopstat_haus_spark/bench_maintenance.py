@@ -4,11 +4,11 @@ Run as: ``python -m hoopstat_haus_spark.bench_maintenance --cpus N
 --docs M [--iters K]`` — prints ONE JSON line. With ``--serve`` the
 process instead stays resident: it prints a READY line, then runs one
 iteration per "RUN" line on stdin, emitting one JSON sample line each.
-bench.py uses serve mode to run the TENANT-EQUALIZED two-level
-comparison: one local[4N] server vs four concurrent local[N] tenant
-servers, so both levels keep 4N cores busy and the host's few-core
-turbo / steal asymmetry cancels out of the efficiency ratio (see
-BENCH.md "Two-cluster-size evidence").
+bench.py uses serve mode to run interleaved lo/hi rounds against two
+resident servers (one local[N], one local[4N]), bracketing each round
+with host-ceiling microbenches and gating on host stability (see
+BENCH.md "Two-cluster-size evidence"; the four-concurrent-tenant
+design was evaluated and rejected there).
 
 Methodology (this sandbox's host throttles CPU stochastically, ~2-4×
 swings minute-to-minute):

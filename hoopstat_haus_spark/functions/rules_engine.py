@@ -84,8 +84,78 @@ def _apply_rule(col: Column, rule: dict) -> Column:
     raise ValueError(f"unknown rule op {op!r}")
 
 
+class RuleConfigError(ValueError):
+    """Raised by :func:`validate_rules` with an actionable message
+    (column, rule index, offending key) instead of letting a malformed
+    config fail deep inside expression compilation.
+
+    Mirrors the reference's typed config-validation library
+    (``libs/hoopstat-config/hoopstat_config``): validate at load, fail
+    with context."""
+
+
+# per-op contract: {required_key: allowed types}; None = any
+_OP_SPECS: dict[str, dict[str, tuple[type, ...] | None]] = {
+    "map_values": {"mapping": (dict,)},
+    "fuzzy_map": {"choices": (list, tuple), "min_ratio": (int, float)},
+    "fill_null": {"value": None},
+    "clamp": {"lo": (int, float), "hi": (int, float)},
+    "strip_collapse_ws": {},
+    "title_case": {},
+    "date_format": {"fmt": (str,)},
+    "regex_replace": {"pattern": (str,), "replacement": (str,)},
+}
+_OPTIONAL_KEYS = {"op", "default"}
+
+
+def validate_rules(rules: dict[str, list[dict]]) -> None:
+    """Validate a rule config; raise :class:`RuleConfigError` on the
+    first problem, naming the column, rule position, and expectation."""
+    if not isinstance(rules, dict):
+        raise RuleConfigError(f"rules config must be a dict of column -> rule list, got {type(rules).__name__}")
+    for col_name, col_rules in rules.items():
+        if not isinstance(col_name, str):
+            raise RuleConfigError(f"rule target must be a column name string, got {col_name!r}")
+        if not isinstance(col_rules, (list, tuple)):
+            raise RuleConfigError(
+                f"column {col_name!r}: rules must be a list of rule dicts, got {type(col_rules).__name__}"
+            )
+        for i, rule in enumerate(col_rules):
+            where = f"column {col_name!r} rule #{i}"
+            if not isinstance(rule, dict):
+                raise RuleConfigError(f"{where}: each rule must be a dict, got {type(rule).__name__}")
+            op = rule.get("op")
+            if op not in _OP_SPECS:
+                raise RuleConfigError(
+                    f"{where}: unknown op {op!r}; known ops: {sorted(_OP_SPECS)}"
+                )
+            spec = _OP_SPECS[op]
+            for key, types in spec.items():
+                if key not in rule:
+                    raise RuleConfigError(f"{where} (op {op!r}): missing required key {key!r}")
+                if types is not None and not isinstance(rule[key], types):
+                    names = "/".join(t.__name__ for t in types)
+                    raise RuleConfigError(
+                        f"{where} (op {op!r}): key {key!r} must be {names}, got {type(rule[key]).__name__}"
+                    )
+            extra = set(rule) - set(spec) - _OPTIONAL_KEYS
+            if extra:
+                raise RuleConfigError(f"{where} (op {op!r}): unexpected keys {sorted(extra)}")
+            if op == "fuzzy_map":
+                if not rule["choices"] or not all(isinstance(c, str) for c in rule["choices"]):
+                    raise RuleConfigError(f"{where}: 'choices' must be a non-empty list of strings")
+                if not 0.0 <= rule["min_ratio"] <= 1.0:
+                    raise RuleConfigError(f"{where}: 'min_ratio' must be in [0, 1], got {rule['min_ratio']}")
+            if op == "map_values" and not rule["mapping"]:
+                raise RuleConfigError(f"{where}: 'mapping' must be non-empty")
+            if op == "clamp" and rule["lo"] > rule["hi"]:
+                raise RuleConfigError(f"{where}: clamp lo {rule['lo']} > hi {rule['hi']}")
+
+
 def compile_rules(rules: dict[str, list[dict]]) -> dict[str, Column]:
-    """Config → one Column expression per target column."""
+    """Config → one Column expression per target column. Validates the
+    config first — errors name the column/rule, not a Catalyst stack."""
+    validate_rules(rules)
     out = {}
     for col_name, col_rules in rules.items():
         expr = F.col(col_name)

@@ -46,6 +46,7 @@ def record_job_metrics(
     operation: str,
     status: str = "success",
     snapshot_id: int | None = None,
+    error: str | None = None,
 ) -> str:
     """Append one job record; returns its path. Immutable, uniquely named
     — concurrent writers never collide."""
@@ -56,6 +57,7 @@ def record_job_metrics(
         "operation": operation,
         "status": status,
         "snapshot_id": snapshot_id,
+        "error": error,
         "recorded_ms": int(time.time() * 1000),
         # ns tiebreaker: two records in the same millisecond (e.g. a
         # job's auto-record then an orchestrator's follow-up) must still
@@ -98,9 +100,17 @@ def _stage_status(records: list[dict]) -> str:
     return OUTAGE
 
 
-def health_report(table_path: str, lookback_jobs: int = 50) -> dict:
+def health_report(
+    table_path: str, lookback_jobs: int = 50, max_staleness_ms: int | None = None
+) -> dict:
     """Aggregate the last ``lookback_jobs`` records per operation into the
-    reference's health-report shape."""
+    reference's health-report shape.
+
+    ``max_staleness_ms``: optional freshness rule — a stage whose most
+    recent SUCCESS is older than this window is downgraded to DEGRADED
+    even if that old run succeeded (a stage that has been crashing
+    before it can record anything, or simply not running, must not
+    report OPERATIONAL from a stale success forever)."""
     records = read_job_records(table_path)
     by_op: dict[str, list[dict]] = {}
     for r in records:
@@ -110,8 +120,15 @@ def health_report(table_path: str, lookback_jobs: int = 50) -> dict:
     for op, recs in sorted(by_op.items()):
         recs = recs[-lookback_jobs:]
         ok = [r for r in recs if r.get("status") == "success"]
+        status = _stage_status(recs)
+        if (
+            max_staleness_ms is not None
+            and status == OPERATIONAL
+            and (not ok or time.time() * 1000 - ok[-1]["recorded_ms"] > max_staleness_ms)
+        ):
+            status = DEGRADED
         stages[op] = {
-            "status": _stage_status(recs),
+            "status": status,
             "runs": len(recs),
             "successes": len(ok),
             "last_success_ms": max((r["recorded_ms"] for r in ok), default=None),

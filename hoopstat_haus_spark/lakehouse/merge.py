@@ -75,9 +75,28 @@ def merge_into(
     one-token-array-per-doc_id invariant. Callers with legitimately
     duplicated feeds (e.g. quarantine replay across batches) must dedupe
     deterministically first."""
-    spark = table.spark
     job_id = job_id or f"merge-{uuid.uuid4().hex[:10]}"
     metrics = JobMetrics(job=job_id)
+    try:
+        return _merge_run(table, updates, job_id, curve, metrics)
+    except Exception as exc:
+        # failed merges must reach the health rollup (DEGRADED/OUTAGE are
+        # unreachable if only successes ever record)
+        from hoopstat_haus_spark.lakehouse.health import record_job_metrics
+
+        metrics.finish()
+        record_job_metrics(table.path, metrics, "merge", status="failed", error=repr(exc)[:500])
+        raise
+
+
+def _merge_run(
+    table: TokenLakeTable,
+    updates: DataFrame,
+    job_id: str,
+    curve: str,
+    metrics: JobMetrics,
+) -> tuple[Snapshot, JobMetrics]:
+    spark = table.spark
     ckpt = JobCheckpoint(table.path, job_id)
     head = table.log.current()
     entries = mf.read_manifest(table.path, head.manifest)
@@ -98,16 +117,36 @@ def merge_into(
         ).alias(f["name"])
         for f in schema.fields
     ]
-    updates = updates.select(*proj, F.col(OP_COL))
+    # cache the projected update set: four downstream actions consume it
+    # (dup probe, candidate-file pruning, the CoW rewrite join, the
+    # matched-keys anti-join for inserts) and re-deriving the feed each
+    # time re-runs its upstream plan. The dup probe below doubles as the
+    # cache materializer (full aggregation, no limit short-circuit).
+    updates = updates.select(*proj, F.col(OP_COL)).persist()
+    try:
+        return _merge_apply(
+            table, updates, job_id, curve, metrics, ckpt, head, entries, schema, value_cols
+        )
+    finally:
+        updates.unpersist()
 
-    dup = (
+
+def _merge_apply(table, updates, job_id, curve, metrics, ckpt, head, entries, schema, value_cols):
+    spark = table.spark
+    n_dup = (
         updates.groupBy("doc_id", "source")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 1)
-        .limit(1)
-        .collect()
+        .count()
     )
-    if dup:
+    if n_dup:
+        dup = (
+            updates.groupBy("doc_id", "source")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(1)
+            .collect()
+        )
         raise ValueError(
             f"merge_into: duplicate update key (doc_id={dup[0]['doc_id']!r}, "
             f"source={dup[0]['source']!r}) — MERGE requires unique (doc_id, source); "

@@ -161,6 +161,26 @@ def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-expiry + reachability-GC cycle: create fragmented →
+    compact (the pre-compaction files stay reachable only through the
+    old snapshot) → expire all but the head snapshot → collect garbage
+    with min-age 0 → verify the orphans were ACTUALLY deleted from disk
+    → scan. The rollup must still equal the closed-form derivation
+    (GC must never touch a reachable file), and ``gc_removed_orphans``
+    — true only if ≥1 orphan was removed AND every removed path is gone
+    AND a dry-run rerun finds nothing left — is pinned TRUE."""
+    t = TokenLakeTable.create(spark, _scratch("gc"), from_documents(spark, sf_dir), repartition_n=8)
+    t.compact(TEST_POLICY)
+    t.expire_snapshots(keep_last=1)
+    report = t.collect_garbage(min_age_s=0.0)
+    removed = report["removed_data_files"]
+    all_gone = all(not os.path.exists(os.path.join(t.path, r)) for r in removed)
+    rerun_clean = not t.collect_garbage(min_age_s=0.0)["removed_data_files"]
+    gc_ok = bool(removed) and all_gone and rerun_clean
+    return rollup(t.scan()).withColumn("gc_removed_orphans", F.lit(gc_ok))
+
+
 def _tokens_sql() -> str:
     return documents_token_sql()
 
@@ -169,6 +189,15 @@ ORACLE = {
     # compaction and snapshot-pinned scans must both equal the pure derivation
     "maint_compact_scan": _ROLLUP_SQL.format(src=_tokens_sql()),
     "maint_snapshot_isolation_scan": _ROLLUP_SQL.format(src=_tokens_sql()),
+    # post-GC scan must STILL equal the derivation; orphan removal is a
+    # Spark/driver-side invariant pinned to the literal TRUE
+    "maint_gc_scan": f"""
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS sum_n_tok,
+               CAST(SUM(list_sum(tokens)) AS BIGINT) AS sum_tok_checksum,
+               TRUE AS gc_removed_orphans
+        FROM {_tokens_sql()} t GROUP BY source ORDER BY source
+    """,
     "maint_merge_scan": _ROLLUP_SQL.format(
         src=f"""(
           SELECT doc_id,
@@ -206,4 +235,5 @@ QUERIES = {
     "maint_merge_scan": merge_scan,
     "maint_snapshot_isolation_scan": snapshot_isolation_scan,
     "maint_schema_evolution_scan": schema_evolution_scan,
+    "maint_gc_scan": gc_scan,
 }

@@ -109,9 +109,10 @@ def read_schema(table_path: str, version: int | None = None) -> TableSchema:
         return TableSchema(version=version, fields=json.load(f)["fields"])
 
 
-def write_schema(table_path: str, schema: TableSchema) -> None:
+def write_schema(table_path: str, schema: TableSchema) -> str:
     """Exclusively create the schema record (same create-if-absent mutex
-    as snapshot commits — two concurrent evolutions cannot both win)."""
+    as snapshot commits — two concurrent evolutions cannot both win).
+    Returns the created path so a failed commit can roll it back."""
     d = _schema_dir(table_path)
     os.makedirs(d, exist_ok=True)
     path = os.path.join(d, f"schema-v{schema.version}.json")
@@ -124,6 +125,7 @@ def write_schema(table_path: str, schema: TableSchema) -> None:
         raise ValueError(f"schema v{schema.version} already exists") from None
     finally:
         os.unlink(tmp)
+    return path
 
 
 def evolved(base: TableSchema, add_fields: list[dict]) -> TableSchema:

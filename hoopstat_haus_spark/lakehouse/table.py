@@ -61,13 +61,25 @@ class TokenLakeTable:
         default (schema.py module docstring)."""
         head = self.log.current()
         new_schema = evolved(self.schema_def(), add_fields)
-        write_schema(self.path, new_schema)
-        return self.log.commit(
-            head.manifest,
-            "schema",
-            {**head.summary, "schema_version": new_schema.version},
-            expected_parent=head.snapshot_id,
-        )
+        schema_file = write_schema(self.path, new_schema)
+        try:
+            return self.log.commit(
+                head.manifest,
+                "schema",
+                {**head.summary, "schema_version": new_schema.version},
+                expected_parent=head.snapshot_id,
+            )
+        except Exception:
+            # a lost optimistic-concurrency race must not leave the
+            # orphan schema-vK.json behind: read_schema resolves the max
+            # version on disk, so the orphan would become the live schema
+            # with no committed snapshot stamping it, and a retry would
+            # fail on write_schema's exclusive create.
+            try:
+                os.remove(schema_file)
+            except OSError:
+                pass
+            raise
 
     # ------------------------------------------------------------ write
     @property
@@ -217,6 +229,33 @@ class TokenLakeTable:
         policy = policy or CompactionPolicy()
         job_id = job_id or f"compact-{uuid.uuid4().hex[:10]}"
         metrics = JobMetrics(job=job_id)
+        try:
+            return self._compact_run(
+                policy, curve, strategy, job_id, max_concurrent_units, metrics
+            )
+        except Exception as exc:
+            # crashed maintenance must surface in the health rollup:
+            # without a 'failed' record, DEGRADED/OUTAGE are unreachable
+            # and a stage crashing for days still reads OPERATIONAL from
+            # its last old success. The job stays resumable (checkpoint
+            # intact); only the metrics record marks the failure.
+            from hoopstat_haus_spark.lakehouse.health import record_job_metrics
+
+            metrics.finish()
+            record_job_metrics(
+                self.path, metrics, "compact", status="failed", error=repr(exc)[:500]
+            )
+            raise
+
+    def _compact_run(
+        self,
+        policy: CompactionPolicy,
+        curve: str,
+        strategy: str,
+        job_id: str,
+        max_concurrent_units: int,
+        metrics: JobMetrics,
+    ) -> tuple[Snapshot | None, JobMetrics]:
         head = self.log.current()
         entries = mf.read_manifest(self.path, head.manifest)
         plans = plan_compaction(entries, policy)

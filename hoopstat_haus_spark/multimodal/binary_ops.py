@@ -136,65 +136,104 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "media_type", "payload").mapInPandas(feats, schema=FEATURE_SCHEMA)
 
 
+def _closed_form_entropy(docs: DataFrame) -> DataFrame:
+    """(doc_id, e_closed): byte entropy of the md5-keystream payload in
+    CLOSED FORM from md5(text) hex + n_chars — no payload touched.
+
+    The payload is the 16-byte md5 digest repeated and truncated to
+    n_chars, so byte i of the digest appears n//16 + (i < n%16) times;
+    entropy = −Σ_v (c_v/n)·log2(c_v/n) over distinct digest byte VALUES
+    (digest bytes can collide — P ≈ 37% for 16 random bytes — so the
+    per-value counts must be grouped, not assumed uniform). 100% native
+    expressions; the same formula is ANSI-SQL for the DuckDB oracle."""
+    pos = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n"),
+        F.md5("text").alias("hex"),
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("i"),
+    ).select(
+        "doc_id",
+        "n",
+        F.substring("hex", F.col("i") * 2 + 1, 2).alias("bv"),
+        (F.col("n") / 16).cast("long") + F.when(F.col("i") < F.col("n") % 16, 1).otherwise(0),
+    )
+    pos = pos.toDF("doc_id", "n", "bv", "cnt")
+    per_val = pos.groupBy("doc_id", "n", "bv").agg(F.sum("cnt").alias("c")).filter(F.col("c") > 0)
+    p = F.col("c").cast("double") / F.col("n")
+    return per_val.groupBy("doc_id").agg((-F.sum(p * F.log2(p))).alias("e_closed"))
+
+
 def media_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gate query: synth media → extract → rollup per media_type.
 
-    Oracle-able because the fake payload is a pure function of `text`:
-    n_bytes = n_chars and first16 = md5(text) — the entropy stays
-    Spark-side (numpy) and is aggregated with stable rounding."""
+    FULLY oracle-checked (the entropy facet included): the fake payload
+    is a pure function of `text` (n_bytes = n_chars, first16 = md5
+    digest), so per-row byte entropy has a closed form that both Spark
+    (native expressions) and DuckDB (SQL) can compute independently of
+    the numpy path. The gate (a) averages the CLOSED-FORM entropy per
+    media_type — value-checked against DuckDB — and (b) pins
+    ``n_entropy_mismatch`` (numpy-extracted vs closed-form, tolerance
+    1e-9) to 0, proving the mapInPandas/Arrow path computes the same
+    numbers the algebra says it must."""
     feats = extract_features(synthetic_media(spark, sf_dir))
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    closed = _closed_form_entropy(docs)
+    joined = feats.join(closed, "doc_id")
+    mism = F.when(F.abs(F.col("byte_entropy") - F.col("e_closed")) > 1e-9, 1).otherwise(0)
     return (
-        feats.groupBy("media_type")
+        joined.groupBy("media_type")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_bytes").alias("total_bytes"),
             F.round(
-                F.sum(F.col("byte_entropy").cast("decimal(18,9)")).cast("double")
+                F.sum(F.col("e_closed").cast("decimal(18,9)")).cast("double")
                 / F.count(F.lit(1))
                 + F.lit(1e-9),
                 4,
             ).alias("avg_entropy"),
             F.countDistinct("first16_hex").alias("distinct_heads"),
+            F.sum(mism).cast("long").alias("n_entropy_mismatch"),
         )
         .orderBy("media_type")
     )
 
 
 ORACLE = {
-    # entropy is numpy-side; oracle checks the SQL-derivable facets and a
-    # weaker bound on entropy via NULL — instead we check everything that
-    # IS derivable: counts, byte totals, distinct md5 heads.
-    "mm_media_feature_rollup_facets": """
-        SELECT media_type, COUNT(*) AS n_docs,
-               CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
-               COUNT(DISTINCT substr(md5(text), 1, 32)) AS distinct_heads
-        FROM (
+    # every facet value-checked: counts/bytes/heads are direct SQL; the
+    # entropy average is recomputed from the closed form (see
+    # _closed_form_entropy); the numpy-vs-closed-form mismatch count is
+    # a Spark-internal invariant pinned to the literal 0.
+    "mm_media_feature_rollup": """
+        WITH d AS (
           SELECT doc_id, text, n_chars,
                  CASE WHEN doc_id % 3 = 0 THEN 'image'
                       WHEN doc_id % 3 = 1 THEN 'audio'
                       ELSE 'video' END AS media_type
           FROM documents
-        ) GROUP BY media_type ORDER BY media_type
+        ), pos AS (
+          SELECT d.doc_id, d.media_type, d.n_chars,
+                 substr(md5(d.text), 2 * i.i + 1, 2) AS bv,
+                 (d.n_chars // 16) + CASE WHEN i.i < d.n_chars % 16 THEN 1 ELSE 0 END AS cnt
+          FROM d, (SELECT unnest(range(0, 16)) AS i) i
+        ), pv AS (
+          SELECT doc_id, media_type, n_chars, bv, SUM(cnt) AS c
+          FROM pos GROUP BY 1, 2, 3, 4
+        ), ent AS (
+          SELECT doc_id, media_type,
+                 -SUM((CAST(c AS DOUBLE) / n_chars) * log2(CAST(c AS DOUBLE) / n_chars)) AS e
+          FROM pv WHERE c > 0 GROUP BY 1, 2
+        )
+        SELECT d.media_type, COUNT(*) AS n_docs,
+               CAST(SUM(d.n_chars) AS BIGINT) AS total_bytes,
+               ROUND(CAST(SUM(CAST(ent.e AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) + 1e-9, 4) AS avg_entropy,
+               COUNT(DISTINCT substr(md5(d.text), 1, 32)) AS distinct_heads,
+               CAST(0 AS BIGINT) AS n_entropy_mismatch
+        FROM d JOIN ent ON d.doc_id = ent.doc_id
+        GROUP BY d.media_type ORDER BY d.media_type
     """,
 }
 
 
-def media_feature_rollup_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL-checkable facet of the media pipeline (drops the numpy-only
-    entropy column; md5-keystream head == md5(text) hex)."""
-    feats = extract_features(synthetic_media(spark, sf_dir))
-    return (
-        feats.groupBy("media_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_bytes").alias("total_bytes"),
-            F.countDistinct("first16_hex").alias("distinct_heads"),
-        )
-        .orderBy("media_type")
-    )
-
-
 QUERIES = {
     "mm_media_feature_rollup": media_feature_rollup,
-    "mm_media_feature_rollup_facets": media_feature_rollup_facets,
 }

@@ -59,3 +59,35 @@ def test_empty_table_reports_outage(tmp_path):
     report = health_report(str(tmp_path))
     assert report["overall_status"] == OUTAGE
     assert report["jobs_seen"] == 0
+
+
+def test_crashed_merge_records_failed_and_degrades(spark, tmp_table_dir):
+    """A merge that raises mid-flight must leave a status='failed' record
+    (advisor finding: without it, DEGRADED/OUTAGE were unreachable from
+    engine-run jobs)."""
+    import pytest
+
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 2000), repartition_n=2)
+    t.compact(POLICY)
+    ok = (
+        t.scan().limit(5)
+        .select("doc_id", F.expr("transform(tokens, x -> cast(x + 1 as int))").alias("tokens"),
+                "n_tok", "source")
+    )
+    merge_into(t, ok)  # one success so the failure reads as DEGRADED
+    dup = ok.limit(1).unionByName(ok.limit(1))  # duplicate keys → reject
+    with pytest.raises(ValueError, match="duplicate"):
+        merge_into(t, dup)
+    recs = [r for r in read_job_records(t.path) if r["operation"] == "merge"]
+    assert recs[-1]["status"] == "failed"
+    assert "duplicate" in (recs[-1].get("error") or "")
+    assert health_report(t.path)["stages"]["merge"]["status"] == DEGRADED
+
+
+def test_stale_success_degrades_with_freshness_rule(spark, tmp_table_dir):
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 2000), repartition_n=2)
+    t.compact(POLICY)
+    assert health_report(t.path)["stages"]["compact"]["status"] == OPERATIONAL
+    # fresh enough for a 1h window, stale for a 0ms window
+    assert health_report(t.path, max_staleness_ms=3_600_000)["stages"]["compact"]["status"] == OPERATIONAL
+    assert health_report(t.path, max_staleness_ms=0)["stages"]["compact"]["status"] == DEGRADED

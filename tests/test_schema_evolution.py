@@ -103,3 +103,34 @@ def test_evolution_validation(spark, tmp_table_dir):
     t.evolve_schema([LANG])
     with pytest.raises(ValueError, match="missing key column"):
         t.schema_def().conform(t.spark.range(1).select(F.lit("x").alias("doc_id")))
+
+
+def test_lost_commit_race_rolls_back_schema_file(spark, tmp_table_dir):
+    """If the schema-vK file is written but the snapshot commit loses the
+    optimistic-concurrency race, the orphan file must be removed: the max
+    version on disk would otherwise become the live schema with no
+    committed snapshot stamping it, and a retry would die on the
+    exclusive create ('already exists')."""
+    from hoopstat_haus_spark.lakehouse.snapshots import ConcurrentCommitError
+
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 500), repartition_n=2)
+    v_before = t.schema_def().version
+    head = t.log.current()
+    # simulate a concurrent writer landing a snapshot between our plan
+    # and our commit: commit once against the real head, then replay a
+    # commit against the stale expected_parent inside evolve_schema
+    real_commit = t.log.commit
+
+    def racing_commit(*args, **kwargs):
+        kwargs["expected_parent"] = head.snapshot_id - 1  # stale
+        return real_commit(*args, **kwargs)
+
+    t.log.commit = racing_commit
+    with pytest.raises(ConcurrentCommitError):
+        t.evolve_schema([LANG])
+    t.log.commit = real_commit
+
+    assert t.schema_def().version == v_before  # orphan rolled back
+    t.evolve_schema([LANG])  # retry succeeds (no 'already exists')
+    assert t.schema_def().version == v_before + 1
+    assert t.log.current().summary["schema_version"] == v_before + 1
