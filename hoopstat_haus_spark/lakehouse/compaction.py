@@ -149,6 +149,25 @@ def output_file_count(total_bytes: int, policy: CompactionPolicy) -> int:
 _BOUNDS_GRID = 256
 
 
+_BOUNDS_FILE_CAP = 64
+
+
+def _sample_files(paths: list[str], cap: int = _BOUNDS_FILE_CAP) -> list[str]:
+    """Deterministic every-kth file subset for boundary estimation.
+
+    Valid because bounds are only planned for UNCLUSTERED victim files
+    (fresh ingest output, rows hash-distributed across files), so any
+    file subset is an unbiased row sample; sorted + strided keeps it
+    deterministic. Capping bounds the planning scan at ~cap file opens
+    per unit no matter how fragmented the input is — at 100 TB the
+    boundary job must not touch a million footers."""
+    paths = sorted(paths)
+    if len(paths) <= cap:
+        return paths
+    step = len(paths) / cap
+    return [paths[int(i * step)] for i in range(cap)]
+
+
 def plan_unit_bounds(
     spark: SparkSession,
     table_path: str,
@@ -160,13 +179,14 @@ def plan_unit_bounds(
 
     Per-unit boundary estimation serializes a scan+agg job into each
     unit's critical path; here a single column-pruned, ¼-hash-sampled
-    pass over ALL victim files computes a fixed {grid} -quantile sketch
-    per partition, and each unit's n_out−1 boundaries are read off the
-    grid driver-side (grid granularity ≥ 4× any realistic n_out, so the
-    extra rounding shifts file sizes by ≪ the target/max headroom).
-    One scan instead of one per unit — and unit jobs start immediately.
+    pass over a bounded file subset per unit (:func:`_sample_files`)
+    computes a fixed {grid} -quantile sketch per partition, and each
+    unit's n_out−1 boundaries are read off the grid driver-side (grid
+    granularity ≥ 4× any realistic n_out, so the extra rounding shifts
+    file sizes by ≪ the target/max headroom). One scan instead of one
+    per unit — and unit jobs start immediately.
     """
-    all_paths = [p for paths in unit_paths.values() for p in paths]
+    all_paths = [p for paths in unit_paths.values() for p in _sample_files(paths)]
     if not all_paths:
         return {}
     data_dir = os.path.join(table_path, "data")
