@@ -82,6 +82,21 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
     spark = _spark()
 
+    from hoopstat_haus_spark.observability import correlation_scope, performance_context
+
+    # One perf record per job run (reference: performance.py decorators
+    # around Lambda handlers); the correlation id ties the record to the
+    # job-id so resumed runs share a trace key.
+    with correlation_scope(getattr(args, "job_id", None)):
+        with performance_context(f"maintenance:{args.cmd}") as perf:
+            out = _dispatch(args, spark)
+            if isinstance(out, dict) and isinstance(out.get("rows"), int):
+                perf.records = out["rows"]
+    print(json.dumps(out))
+    return 0
+
+
+def _dispatch(args, spark) -> dict:
     from hoopstat_haus_spark.lakehouse import CompactionPolicy, TokenLakeTable
 
     table = TokenLakeTable(spark, args.table)
@@ -101,32 +116,28 @@ def main(argv: list[str] | None = None) -> int:
         )
         out = metrics.to_dict()
         out["snapshot"] = snap.snapshot_id if snap else None
-        print(json.dumps(out))
-    elif args.cmd == "merge":
+        return out
+    if args.cmd == "merge":
         from hoopstat_haus_spark.lakehouse.merge import merge_into
 
         updates = spark.read.parquet(args.updates)
         snap, metrics = merge_into(table, updates, job_id=args.job_id)
         out = metrics.to_dict()
         out["snapshot"] = snap.snapshot_id
-        print(json.dumps(out))
-    elif args.cmd == "expire":
+        return out
+    if args.cmd == "expire":
         expired = table.expire_snapshots(keep_last=args.keep_last)
         from hoopstat_haus_spark.lakehouse.gc import collect_garbage
 
         report = collect_garbage(table.path, dry_run=args.dry_run)
-        print(
-            json.dumps(
-                {
-                    "expired_snapshots": expired,
-                    "removed_data_files": len(report["removed_data_files"]),
-                    "removed_manifests": len(report["removed_manifests"]),
-                    "reachable_files": report["reachable_files"],
-                    "dry_run": args.dry_run,
-                }
-            )
-        )
-    elif args.cmd == "evolve":
+        return {
+            "expired_snapshots": expired,
+            "removed_data_files": len(report["removed_data_files"]),
+            "removed_manifests": len(report["removed_manifests"]),
+            "reachable_files": report["reachable_files"],
+            "dry_run": args.dry_run,
+        }
+    if args.cmd == "evolve":
         fields = []
         for spec in args.add:
             parts = spec.split(":")
@@ -136,20 +147,16 @@ def main(argv: list[str] | None = None) -> int:
                 {"name": parts[0], "type": parts[1], "default": parts[2] if len(parts) == 3 else None}
             )
         snap = table.evolve_schema(fields)
-        print(
-            json.dumps(
-                {
-                    "snapshot": snap.snapshot_id,
-                    "schema_version": snap.summary.get("schema_version"),
-                    "added": fields,
-                }
-            )
-        )
-    elif args.cmd == "health":
+        return {
+            "snapshot": snap.snapshot_id,
+            "schema_version": snap.summary.get("schema_version"),
+            "added": fields,
+        }
+    if args.cmd == "health":
         from hoopstat_haus_spark.lakehouse.health import health_report
 
-        print(json.dumps(health_report(table.path, lookback_jobs=args.lookback_jobs)))
-    elif args.cmd == "stats":
+        return health_report(table.path, lookback_jobs=args.lookback_jobs)
+    if args.cmd == "stats":
         snap = table.log.current()
         entries = table.manifest_entries()
         per_part: dict[str, dict] = {}
@@ -159,17 +166,13 @@ def main(argv: list[str] | None = None) -> int:
             d["rows"] += en["row_count"]
             d["bytes"] += en["file_bytes"]
             d["tokens"] += en["token_count"]
-        print(
-            json.dumps(
-                {
-                    "snapshot": snap.snapshot_id if snap else None,
-                    "operation": snap.operation if snap else None,
-                    "summary": snap.summary if snap else {},
-                    "partitions": per_part,
-                }
-            )
-        )
-    return 0
+        return {
+            "snapshot": snap.snapshot_id if snap else None,
+            "operation": snap.operation if snap else None,
+            "summary": snap.summary if snap else {},
+            "partitions": per_part,
+        }
+    raise SystemExit(f"unknown command {args.cmd!r}")
 
 
 if __name__ == "__main__":
