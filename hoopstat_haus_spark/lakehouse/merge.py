@@ -37,6 +37,14 @@ from hoopstat_haus_spark.lakehouse.zorder import with_zkey
 
 OP_COL = "_op"  # optional in updates: 'upsert' (default) | 'delete'
 
+INSERT_TARGET_FILE_BYTES = 128 << 20
+
+
+def _avg_row_bytes(entries: list[dict]) -> int:
+    """Observed bytes/row from the live manifest (fallback 1 KiB)."""
+    rows = sum(e["row_count"] for e in entries)
+    return max(1, sum(e["file_bytes"] for e in entries) // rows) if rows else 1024
+
 
 def _candidate_files(spark: SparkSession, entries: list[dict], updates: DataFrame) -> list[dict]:
     """Manifest ∩ updates on (partition, doc_id range) → files to rewrite."""
@@ -44,7 +52,10 @@ def _candidate_files(spark: SparkSession, entries: list[dict], updates: DataFram
         [(e["file_path"], e["partition"], e["min_doc_id"], e["max_doc_id"]) for e in entries],
         schema="file_path string, partition string, min_doc_id string, max_doc_id string",
     )
-    keys = updates.select("doc_id", "source").distinct()
+    # no .distinct(): the semi-join only tests existence, and dedup would
+    # cost a full shuffle stage over the update feed just to shrink an
+    # already-broadcast-sized build side
+    keys = updates.select("doc_id", "source")
     hit = (
         man.join(
             F.broadcast(keys),
@@ -200,6 +211,15 @@ def _merge_apply(table, updates, job_id, curve, metrics, ckpt, head, entries, sc
         .select(*schema.names())
     )
     inserts = schema.apply_defaults(inserts)
+    # Size the insert write to the feed, not to shuffle.partitions: the
+    # anti-join inherits the session's partitioning, so a 10-row insert
+    # set would otherwise fragment into one tiny file per task — MERGE
+    # must not undo compaction. Bound by the update feed's row count
+    # (inserts ⊆ updates; the count is free off the persisted cache) and
+    # the table's observed bytes/row; empty partitions emit no files.
+    row_bytes = _avg_row_bytes(entries)
+    n_ins_parts = max(1, min(256, -(-updates.count() * row_bytes // INSERT_TARGET_FILE_BYTES)))
+    inserts = inserts.repartition(int(n_ins_parts), "source")
     inserts = with_zkey(inserts, curve=curve).sortWithinPartitions("source", mf.ZKEY_COL)
     new_files += table._write_files(inserts, f"insert-{job_id}", repartition_n=None)
 
