@@ -259,25 +259,29 @@ def run_maintenance_scaling() -> dict:
       ceiling and the raw ratio measures the ENGINE. No normalization
       is applied anywhere; `scaling_efficiency` IS the raw median,
       conservatively capped at 1.0.
-    - Each round brackets the back-to-back lo/hi engine pair with
-      host-ceiling measurements; a round is ACCEPTED only if the
-      ceilings are stable across it (host didn't shift throttle regimes
-      mid-round — unstable rounds' lo and hi walls were measured under
-      different host speeds and their ratio is meaningless).
+    - Each round runs hi → lo → hi bracketed by host-ceiling
+      measurements; a round is ACCEPTED only if the ceilings are stable
+      across it (host didn't shift throttle regimes mid-round —
+      unstable rounds' lo and hi walls were measured under different
+      host speeds and their ratio is meaningless). The hi level runs
+      TWICE per round (its wall = the min): hi runs are 4× shorter, so
+      a single hi sample sits entirely inside whatever throttle window
+      it lands in while the long lo run averages across windows; two
+      flanking hi samples per round still give hi only ~half of lo's
+      wall-clock exposure, and min-estimation converges to the same
+      unthrottled capability either way (throttle only ADDS time).
     - The gate metric is the CAPABILITY ratio: each level's best wall
       across the stability-gated interleaved rounds, eff =
-      best(lo)/(4·best(hi)). Interleaving gives both levels equal
-      sampling of host states, and host throttle only ever ADDS time,
-      so per-level minima estimate unthrottled capability; per-round
-      ratios (also shipped, with their median) are noisier because the
-      4× shorter hi run fits entirely inside throttle windows that the
-      lo run averages over. (Round 1's REJECTED estimator was
-      *sequential* best-of-K — a lo batch and a hi batch in different
-      host regimes; interleaving is what makes minima comparable.)
+      best(lo)/(4·best(hi)); per-round ratios (also shipped, with
+      their median) are noisier for the same short-run reason.
+      (Round 1's REJECTED estimator was *sequential* best-of-K — a lo
+      batch and a hi batch in different host regimes; interleaving is
+      what makes minima comparable.)
     - Sampling continues until MIN_ACCEPTED accepted rounds exist AND
-      the capability estimate has stabilized (Δ ≤ 0.05 round-over-
-      round), or the budget runs out. Every wall, ceiling, and
-      per-round ratio ships in the JSON."""
+      the capability estimate has settled (the last TWO round-over-
+      round deltas each ≤ 0.03 — one flat delta can just mean two
+      equally-throttled rounds), or the budget runs out. Every wall,
+      ceiling, and per-round ratio ships in the JSON."""
     if BENCH_N_OVERRIDE:
         n = int(BENCH_N_OVERRIDE)
         _, pair_report = n, [{"n": n, "override": True}]
@@ -304,18 +308,21 @@ def run_maintenance_scaling() -> dict:
         _request(hi_p)
         for _i in range(MAX_ROUNDS):
             cc1, mc1 = host_ceilings(n)
+            hi_a = _request(hi_p)
             lo = _request(lo_p)
-            hi = _request(hi_p)
+            hi_b = _request(hi_p)
             cc2, mc2 = host_ceilings(n)
-            gb_in = hi["gb_in"]
+            gb_in = hi_b["gb_in"]
+            hi_wall = min(hi_a["wall"], hi_b["wall"])
             lo_s.append(lo["wall"])
-            hi_s.append(hi["wall"])
+            hi_s.extend([hi_a["wall"], hi_b["wall"]])
             ok = stable(cc1, cc2, 0.15) and stable(mc1, mc2, 0.25)
-            raw = lo["wall"] / (4.0 * hi["wall"])
+            raw = lo["wall"] / (4.0 * hi_wall)
             rounds.append(
                 {
                     "lo_s": lo["wall"],
-                    "hi_s": hi["wall"],
+                    "hi_s": hi_wall,
+                    "hi_s_samples": [hi_a["wall"], hi_b["wall"]],
                     "cpu_ceiling": [round(cc1, 3), round(cc2, 3)],
                     "mem_ceiling": [round(mc1, 3), round(mc2, 3)],
                     "host_stable": ok,
@@ -330,8 +337,9 @@ def run_maintenance_scaling() -> dict:
             ]
             settled = (
                 len(stable_rounds) >= MIN_ACCEPTED
-                and len(ests) >= 2
-                and abs(ests[-1] - ests[-2]) <= 0.05
+                and len(ests) >= 3
+                and abs(ests[-1] - ests[-2]) <= 0.03
+                and abs(ests[-2] - ests[-3]) <= 0.03
             )
             if settled or time.time() - t0 > ROUND_BUDGET_S:
                 break

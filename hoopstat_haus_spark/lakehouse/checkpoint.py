@@ -69,20 +69,24 @@ class JobCheckpoint:
         rows: int,
         tokens: int,
         duration_s: float,
+        output_stats: list[dict] | None = None,
     ) -> None:
-        self._write(
-            unit,
-            {
-                "job_id": self.job_id,
-                "unit": unit,
-                "state": "done",
-                "input_files": input_files,
-                "output_files": output_files,
-                "rows": rows,
-                "tokens": tokens,
-                "duration_s": round(duration_s, 3),
-            },
-        )
+        rec = {
+            "job_id": self.job_id,
+            "unit": unit,
+            "state": "done",
+            "input_files": input_files,
+            "output_files": output_files,
+            "rows": rows,
+            "tokens": tokens,
+            "duration_s": round(duration_s, 3),
+        }
+        if output_stats is not None:
+            # per-file manifest entries computed INSIDE the unit job so
+            # the final commit needs no stats scan (and a resumed job
+            # reuses them instead of re-reading finished units' output)
+            rec["output_stats"] = output_stats
+        self._write(unit, rec)
 
     def completed_units(self) -> dict[str, dict]:
         out = {}

@@ -149,7 +149,8 @@ def output_file_count(total_bytes: int, policy: CompactionPolicy) -> int:
 _BOUNDS_GRID = 256
 
 
-_BOUNDS_FILE_CAP = 64
+_BOUNDS_FILE_CAP = 32
+_BOUNDS_SAMPLE_MOD = 8  # keep ~1/8 of rows in the planning sketch
 
 
 def _sample_files(paths: list[str], cap: int = _BOUNDS_FILE_CAP) -> list[str]:
@@ -178,7 +179,7 @@ def plan_unit_bounds(
     """Range boundaries for EVERY pending unit from ONE skinny job.
 
     Per-unit boundary estimation serializes a scan+agg job into each
-    unit's critical path; here a single column-pruned, ¼-hash-sampled
+    unit's critical path; here a single column-pruned, 1/8-hash-sampled
     pass over a bounded file subset per unit (:func:`_sample_files`)
     computes a fixed {grid} -quantile sketch per partition, and each
     unit's n_out−1 boundaries are read off the grid driver-side (grid
@@ -194,7 +195,7 @@ def plan_unit_bounds(
         spark.read.option("basePath", data_dir)
         .parquet(*[os.path.join(table_path, p) for p in all_paths])
         .select("source", "doc_id", "n_tok")
-        .filter(F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(4)) == 0)
+        .filter(F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(_BOUNDS_SAMPLE_MOD)) == 0)
     )
     skinny = with_zkey(skinny, curve=curve)
     fracs = [i / _BOUNDS_GRID for i in range(1, _BOUNDS_GRID)]
