@@ -174,3 +174,24 @@ def test_resume_skips_completed_units(spark, tmp_table_dir):
     now_files = {e["file_path"] for e in t.manifest_entries()}
     assert set(out) <= now_files, "resume must reuse the completed unit's outputs"
     assert sig_rows(t) == pre
+
+
+def test_checkpointed_stats_match_recomputation(spark, tmp_path_factory):
+    """Round-3 path: manifest entries come from per-unit checkpoint
+    stats (computed inside the unit thread, not a post-rewrite stats
+    job). They must be byte-identical to a fresh recomputation over the
+    committed files — any drift silently corrupts pruning bounds."""
+    from hoopstat_haus_spark.lakehouse import manifest as mf
+
+    path = str(tmp_path_factory.mktemp("ckstats") / "t")
+    t = TokenLakeTable.create(spark, path, synthetic(spark, 9000), repartition_n=10)
+    snap, _metrics = t.compact(POLICY, job_id="ckstats-1")
+    assert snap is not None
+
+    entries = {e["file_path"]: e for e in t.manifest_entries()}
+    compacted = [p for p in entries if "/compact-ckstats-1-" in p or "compact-ckstats-1" in p]
+    assert compacted, "no compacted files found in manifest"
+    fresh = mf.compute_file_stats(spark, t.path, compacted)
+    assert len(fresh) == len(compacted)
+    for e in fresh:
+        assert entries[e["file_path"]] == e
