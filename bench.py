@@ -271,17 +271,27 @@ def run_maintenance_scaling() -> dict:
       wall-clock exposure, and min-estimation converges to the same
       unthrottled capability either way (throttle only ADDS time).
     - The gate metric is the CAPABILITY ratio: each level's best wall
-      across the stability-gated interleaved rounds, eff =
-      best(lo)/(4·best(hi)); per-round ratios (also shipped, with
-      their median) are noisier for the same short-run reason.
-      (Round 1's REJECTED estimator was *sequential* best-of-K — a lo
-      batch and a hi batch in different host regimes; interleaving is
-      what makes minima comparable.)
+      across ALL interleaved rounds, eff = best(lo)/(4·best(hi)).
+      Host contention only ever ADDS time (an overcommitted VM steals
+      cycles; there is no turbo above the vCPU allocation), so a
+      measured wall is valid capability evidence for its level no
+      matter what the bracketing ceilings did — the stability gate
+      exists for PAIRING (a per-round ratio needs both walls under one
+      host regime), not for per-level minima, and both levels' minima
+      are taken over the same rounds. Per-round ratios (shipped, with
+      their stable-rounds median) stay stability-gated. (Round 1's
+      REJECTED estimator was *sequential* best-of-K — a lo batch and a
+      hi batch in different host regimes; interleaving is what makes
+      minima comparable.)
     - Sampling continues until MIN_ACCEPTED accepted rounds exist AND
       the capability estimate has settled (the last TWO round-over-
       round deltas each ≤ 0.03 — one flat delta can just mean two
-      equally-throttled rounds), or the budget runs out. Every wall,
-      ceiling, and per-round ratio ships in the JSON."""
+      equally-throttled rounds) AND each level's minimum is PLATEAU-
+      corroborated (second-best sample within 12% of the best: a lone
+      fast wall is real evidence, but publishing a ratio before the
+      OTHER level got a quiet window mis-states the engine in either
+      direction) — or the budget runs out. Every wall, ceiling, and
+      per-round ratio ships in the JSON."""
     if BENCH_N_OVERRIDE:
         n = int(BENCH_N_OVERRIDE)
         _, pair_report = n, [{"n": n, "override": True}]
@@ -330,16 +340,28 @@ def run_maintenance_scaling() -> dict:
                 }
             )
             stable_rounds = [r for r in rounds if r["host_stable"]]
+            # capability estimate over ALL rounds' per-level minima
             ests = [
-                min(r["lo_s"] for r in stable_rounds[: k + 1])
-                / (4.0 * min(r["hi_s"] for r in stable_rounds[: k + 1]))
-                for k in range(len(stable_rounds))
+                min(r["lo_s"] for r in rounds[: k + 1])
+                / (4.0 * min(r["hi_s"] for r in rounds[: k + 1]))
+                for k in range(len(rounds))
             ]
+            # plateau corroboration: a lone fast wall is real capability
+            # evidence, but stopping on it risks publishing a ratio
+            # whose other level never got a quiet window — require the
+            # SECOND-best sample of each level within 12% of its min
+            # before settling (otherwise keep sampling to the budget)
+            lo_sorted = sorted(lo_s)
+            hi_sorted = sorted(hi_s)
+            lo_plat = len(lo_sorted) >= 2 and lo_sorted[1] <= 1.12 * lo_sorted[0]
+            hi_plat = len(hi_sorted) >= 2 and hi_sorted[1] <= 1.12 * hi_sorted[0]
             settled = (
                 len(stable_rounds) >= MIN_ACCEPTED
                 and len(ests) >= 3
                 and abs(ests[-1] - ests[-2]) <= 0.03
                 and abs(ests[-2] - ests[-3]) <= 0.03
+                and lo_plat
+                and hi_plat
             )
             if settled or time.time() - t0 > ROUND_BUDGET_S:
                 break
@@ -353,15 +375,21 @@ def run_maintenance_scaling() -> dict:
 
     stable_rounds = [r for r in rounds if r["host_stable"]] or rounds
     host_unstable = not any(r["host_stable"] for r in rounds)
-    best_lo = min(r["lo_s"] for r in stable_rounds)
-    best_hi = min(r["hi_s"] for r in stable_rounds)
+    # per-level minima over ALL rounds (see docstring: contention only
+    # adds time, so every wall is capability evidence for its level);
+    # the stable_rounds subset gates only the paired-ratio median
+    best_lo = min(r["lo_s"] for r in rounds)
+    best_hi = min(r["hi_s"] for r in rounds)
     thr_lo = gb_in / (best_lo / 3600.0)
     thr_hi = gb_in / (best_hi / 3600.0)
     capability = best_lo / (4.0 * best_hi)
     pool = sorted(r["raw_efficiency"] for r in stable_rounds)
     mid = len(pool) // 2
     med = pool[mid] if len(pool) % 2 else (pool[mid - 1] + pool[mid]) / 2.0
+    lo_sorted, hi_sorted = sorted(lo_s), sorted(hi_s)
     return {
+        "lo_plateau": len(lo_sorted) >= 2 and lo_sorted[1] <= 1.12 * lo_sorted[0],
+        "hi_plateau": len(hi_sorted) >= 2 and hi_sorted[1] <= 1.12 * hi_sorted[0],
         "docs": SCALING_DOCS,
         "gb_in": gb_in,
         "pair_selection": pair_report,
