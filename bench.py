@@ -85,7 +85,7 @@ def run_queries() -> dict[str, float]:
 
 MIN_ACCEPTED = int(os.environ.get("SPARK_GRAFT_BENCH_MIN_ACCEPTED", "3"))
 MAX_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_PAIRS", "8"))
-ROUND_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_PAIR_BUDGET_S", "1000"))
+ROUND_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_PAIR_BUDGET_S", "800"))
 
 
 def _spin(dur_ns: int, counter) -> None:

@@ -84,12 +84,18 @@ def quarantine_batch(table: TokenLakeTable, rejected: DataFrame) -> None:
     rejected.write.mode("append").partitionBy("_error_class").parquet(quarantine_dir(table))
 
 
+_QUARANTINE_DDL = "doc_id string, tokens array<int>, n_tok int, source string, _error_class string"
+
+
 def read_quarantine(table: TokenLakeTable) -> DataFrame:
     qd = quarantine_dir(table)
-    if not os.path.isdir(qd):
-        return table.spark.createDataFrame(
-            [], schema="doc_id string, tokens array<int>, n_tok int, source string, _error_class string"
-        )
+    # a fully-resolved sidecar is a dir with no parquet files (replay
+    # rewrites it from an empty frame) — schema inference would throw,
+    # so both the missing and the drained cases read as typed-empty
+    if not os.path.isdir(qd) or not any(
+        f.endswith(".parquet") for _, _, fs in os.walk(qd) for f in fs
+    ):
+        return table.spark.createDataFrame([], schema=_QUARANTINE_DDL)
     return table.spark.read.parquet(qd)
 
 

@@ -181,6 +181,61 @@ def gc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup(t.scan()).withColumn("gc_removed_orphans", F.lit(gc_ok))
 
 
+def quarantine_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine + replay cycle (M6/M7, reference quarantine store +
+    replay engine): create → validate an incoming batch carrying
+    deterministic planted errors (10 length_mismatch, 10 out-of-vocab,
+    10 clean rows on a fresh doc-id range) → merge the clean rows →
+    quarantine the rejects → replay with the standard fixes (recount /
+    clamp-vocab) → scan. The rollup must equal the closed-form oracle
+    of base ∪ fixed-batch, and ``replay_resolved_all`` — true only if
+    every quarantined row resolved, none still fail, and the sidecar is
+    empty afterwards — is pinned TRUE."""
+    from hoopstat_haus_spark.lakehouse.quarantine import (
+        VOCAB_SIZE,
+        quarantine_batch,
+        read_quarantine,
+        replay,
+        validate_batch,
+    )
+
+    t = TokenLakeTable.create(
+        spark, _scratch("quarantine"), from_documents(spark, sf_dir), repartition_n=8
+    )
+    num = F.col("id") + F.lit(950000)
+    batch = spark.range(30).select(
+        F.format_string("doc-%08d", num).alias("doc_id"),
+        token_expr(num, F.lit(16)).alias("tokens"),
+        F.lit(16).alias("n_tok"),
+        F.lit("src0").alias("source"),
+        (F.col("id") % 3).alias("_kind"),
+    )
+    batch = batch.withColumn(
+        "n_tok", F.when(F.col("_kind") == 0, F.lit(21)).otherwise(F.col("n_tok"))
+    ).withColumn(
+        "tokens",
+        F.when(
+            F.col("_kind") == 1,
+            F.transform(
+                "tokens",
+                lambda x, i: F.when(i == 2, F.lit(VOCAB_SIZE + 7)).otherwise(x).cast("int"),
+            ),
+        ).otherwise(F.col("tokens")),
+    ).drop("_kind")
+
+    valid, rejected = validate_batch(batch)
+    merge_into(t, valid)
+    quarantine_batch(t, rejected)
+    rep = replay(t)
+    ok = (
+        rep["replayed"] == 20
+        and rep["resolved"] == 20
+        and rep["still_failed"] == 0
+        and read_quarantine(t).count() == 0
+    )
+    return rollup(t.scan()).withColumn("replay_resolved_all", F.lit(ok))
+
+
 def _tokens_sql() -> str:
     return documents_token_sql()
 
@@ -215,6 +270,27 @@ ORACLE = {
     ),
 }
 
+# post-replay scan = base ∪ the planted batch AFTER its fixes: recount
+# restores n_tok=16 on the length rows (tokens untouched), clamp maps
+# the planted out-of-vocab token (VOCAB+7 at position 2) to VOCAB-1 =
+# 50256; sidecar emptiness is a Spark/driver-side invariant pinned TRUE
+ORACLE["maint_quarantine_scan"] = f"""
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_n_tok,
+           CAST(SUM(list_sum(tokens)) AS BIGINT) AS sum_tok_checksum,
+           TRUE AS replay_resolved_all
+    FROM (
+      SELECT source, n_tok, tokens FROM {{base}} t
+      UNION ALL
+      SELECT 'src0' AS source, 16 AS n_tok,
+             list_transform(range(0, 16), k -> CAST(
+               CASE WHEN i % 3 = 1 AND k = 2 THEN {_VOCAB - 1}
+                    ELSE ((950000 + i) * {_MULT} + k * {_STEP}) % {_VOCAB} END
+               AS INTEGER)) AS tokens
+      FROM range(30) r(i)
+    ) GROUP BY source ORDER BY source
+""".replace("{base}", _tokens_sql())
+
 ORACLE["maint_schema_evolution_scan"] = f"""
     SELECT source, lang, COUNT(*) AS n_docs,
            CAST(SUM(n_tok) AS BIGINT) AS sum_n_tok,
@@ -236,4 +312,5 @@ QUERIES = {
     "maint_snapshot_isolation_scan": snapshot_isolation_scan,
     "maint_schema_evolution_scan": schema_evolution_scan,
     "maint_gc_scan": gc_scan,
+    "maint_quarantine_scan": quarantine_scan,
 }
