@@ -287,9 +287,11 @@ def run_maintenance_scaling() -> dict:
       the capability estimate has settled (the last TWO round-over-
       round deltas each ≤ 0.03 — one flat delta can just mean two
       equally-throttled rounds) AND each level's minimum is PLATEAU-
-      corroborated (second-best sample within 12% of the best: a lone
-      fast wall is real evidence, but publishing a ratio before the
-      OTHER level got a quiet window mis-states the engine in either
+      corroborated (second-best PER-ROUND minimum within 12% of the
+      best — per-round so the two flanking hi runs of one round, which
+      share a host window, can't corroborate each other: a lone fast
+      wall is real evidence, but publishing a ratio before the OTHER
+      level got a quiet window mis-states the engine in either
       direction) — or the budget runs out. Every wall, ceiling, and
       per-round ratio ships in the JSON."""
     if BENCH_N_OVERRIDE:
@@ -349,10 +351,12 @@ def run_maintenance_scaling() -> dict:
             # plateau corroboration: a lone fast wall is real capability
             # evidence, but stopping on it risks publishing a ratio
             # whose other level never got a quiet window — require the
-            # SECOND-best sample of each level within 12% of its min
-            # before settling (otherwise keep sampling to the budget)
-            lo_sorted = sorted(lo_s)
-            hi_sorted = sorted(hi_s)
+            # SECOND-best PER-ROUND minimum of each level within 12% of
+            # its best before settling (per-round, not per-sample: the
+            # two flanking hi runs of one round share a host window, so
+            # corroboration must come from a different round)
+            lo_sorted = sorted(r["lo_s"] for r in rounds)
+            hi_sorted = sorted(r["hi_s"] for r in rounds)
             lo_plat = len(lo_sorted) >= 2 and lo_sorted[1] <= 1.12 * lo_sorted[0]
             hi_plat = len(hi_sorted) >= 2 and hi_sorted[1] <= 1.12 * hi_sorted[0]
             settled = (
@@ -386,7 +390,8 @@ def run_maintenance_scaling() -> dict:
     pool = sorted(r["raw_efficiency"] for r in stable_rounds)
     mid = len(pool) // 2
     med = pool[mid] if len(pool) % 2 else (pool[mid - 1] + pool[mid]) / 2.0
-    lo_sorted, hi_sorted = sorted(lo_s), sorted(hi_s)
+    lo_sorted = sorted(r["lo_s"] for r in rounds)
+    hi_sorted = sorted(r["hi_s"] for r in rounds)
     return {
         "lo_plateau": len(lo_sorted) >= 2 and lo_sorted[1] <= 1.12 * lo_sorted[0],
         "hi_plateau": len(hi_sorted) >= 2 and hi_sorted[1] <= 1.12 * hi_sorted[0],

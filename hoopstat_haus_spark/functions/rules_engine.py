@@ -105,7 +105,14 @@ _OP_SPECS: dict[str, dict[str, tuple[type, ...] | None]] = {
     "date_format": {"fmt": (str,)},
     "regex_replace": {"pattern": (str,), "replacement": (str,)},
 }
-_OPTIONAL_KEYS = {"op", "default"}
+# 'default' is only consumed by the two mapping ops — accepting it on
+# every op would let a mistyped fallback validate cleanly and silently
+# do nothing (the exact failure this validator exists to catch)
+_OPTIONAL_KEYS: dict[str, set[str]] = {
+    "map_values": {"op", "default"},
+    "fuzzy_map": {"op", "default"},
+}
+_BASE_KEYS = {"op"}
 
 
 def validate_rules(rules: dict[str, list[dict]]) -> None:
@@ -138,7 +145,7 @@ def validate_rules(rules: dict[str, list[dict]]) -> None:
                     raise RuleConfigError(
                         f"{where} (op {op!r}): key {key!r} must be {names}, got {type(rule[key]).__name__}"
                     )
-            extra = set(rule) - set(spec) - _OPTIONAL_KEYS
+            extra = set(rule) - set(spec) - _OPTIONAL_KEYS.get(op, _BASE_KEYS)
             if extra:
                 raise RuleConfigError(f"{where} (op {op!r}): unexpected keys {sorted(extra)}")
             if op == "fuzzy_map":

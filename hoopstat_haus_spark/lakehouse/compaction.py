@@ -153,18 +153,24 @@ _BOUNDS_FILE_CAP = 32
 _BOUNDS_SAMPLE_MOD = 8  # keep ~1/8 of rows in the planning sketch
 
 
-def _sample_files(paths: list[str], cap: int = _BOUNDS_FILE_CAP) -> list[str]:
+def _sample_files(entries: list[dict], cap: int = _BOUNDS_FILE_CAP) -> list[str]:
     """Deterministic every-kth file subset for boundary estimation.
 
-    Valid because bounds are only planned for UNCLUSTERED victim files
-    (fresh ingest output, rows hash-distributed across files), so any
-    file subset is an unbiased row sample; sorted + strided keeps it
-    deterministic. Capping bounds the planning scan at ~cap file opens
-    per unit no matter how fragmented the input is — at 100 TB the
-    boundary job must not touch a million footers."""
-    paths = sorted(paths)
+    Files are strided over their manifest ``zmin`` order, NOT path
+    order: victim files can be CLUSTERED (e.g. MERGE/compaction output,
+    each file a narrow zkey band), and a path-ordered subset of those
+    would skip whole zkey ranges, leaving the quantile sketch blind in
+    the gaps. Striding the zmin-sorted list keeps the sampled files
+    spread across the key domain for clustered victims, and is a no-op
+    distinction for unclustered ingest output (zmin = -1 everywhere,
+    rows hash-distributed → any subset is unbiased). Capping bounds
+    the planning scan at ~cap file opens per unit no matter how
+    fragmented the input is — at 100 TB the boundary job must not
+    touch a million footers."""
+    ordered = sorted(entries, key=lambda e: (e.get("zmin", -1), e["file_path"]))
+    paths = [e["file_path"] for e in ordered]
     if len(paths) <= cap:
-        return paths
+        return sorted(paths)
     step = len(paths) / cap
     return [paths[int(i * step)] for i in range(cap)]
 
@@ -172,7 +178,7 @@ def _sample_files(paths: list[str], cap: int = _BOUNDS_FILE_CAP) -> list[str]:
 def plan_unit_bounds(
     spark: SparkSession,
     table_path: str,
-    unit_paths: dict[str, list[str]],
+    unit_entries: dict[str, list[dict]],
     unit_n_out: dict[str, int],
     curve: str = "zorder",
 ) -> dict[str, list[int]]:
@@ -187,7 +193,7 @@ def plan_unit_bounds(
     file sizes by ≪ the target/max headroom). One scan instead of one
     per unit — and unit jobs start immediately.
     """
-    all_paths = [p for paths in unit_paths.values() for p in _sample_files(paths)]
+    all_paths = [p for entries in unit_entries.values() for p in _sample_files(entries)]
     if not all_paths:
         return {}
     data_dir = os.path.join(table_path, "data")

@@ -96,7 +96,10 @@ def merge_into(
         from hoopstat_haus_spark.lakehouse.health import record_job_metrics
 
         metrics.finish()
-        record_job_metrics(table.path, metrics, "merge", status="failed", error=repr(exc)[:500])
+        try:
+            record_job_metrics(table.path, metrics, "merge", status="failed", error=repr(exc)[:500])
+        except OSError:
+            pass  # a full/read-only disk must not mask the root cause
         raise
 
 
@@ -219,7 +222,13 @@ def _merge_apply(table, updates, job_id, curve, metrics, ckpt, head, entries, sc
     # the table's observed bytes/row; empty partitions emit no files.
     row_bytes = _avg_row_bytes(entries)
     n_ins_parts = max(1, min(256, -(-updates.count() * row_bytes // INSERT_TARGET_FILE_BYTES)))
-    inserts = inserts.repartition(int(n_ins_parts), "source")
+    # hash on (source, doc-salt), not source alone: hashing only source
+    # caps non-empty partitions at the distinct-source count, so a big
+    # single-source backfill would sort+write as ONE task/file no matter
+    # what n_ins_parts says. The salt spreads within each source; the
+    # partitionBy('source') write still splits files per source per task.
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(int(n_ins_parts)))
+    inserts = inserts.repartition(int(n_ins_parts), "source", salt)
     inserts = with_zkey(inserts, curve=curve).sortWithinPartitions("source", mf.ZKEY_COL)
     new_files += table._write_files(inserts, f"insert-{job_id}", repartition_n=None)
 

