@@ -175,6 +175,40 @@ def _sample_files(entries: list[dict], cap: int = _BOUNDS_FILE_CAP) -> list[str]
     return [paths[int(i * step)] for i in range(cap)]
 
 
+def _bounds_from_sketches(entries: list[dict], n_out: int) -> list[int] | None:
+    """Range boundaries from the manifest's per-file ``zq`` quantile
+    sketches — pure driver-side arithmetic, ZERO data scanned.
+
+    Each file contributes its sketch points weighted by its row count;
+    the merged weighted CDF yields the unit's n_out−1 equal-mass cuts.
+    Sketch resolution (31 points/file × files) dwarfs n_out, and
+    boundary error only shifts output file sizes, bounded well inside
+    the policy's max/target headroom. Returns None when any file lacks
+    a sketch (pre-sketch manifest) — caller falls back to the scan."""
+    pts: list[tuple[int, float]] = []
+    total = 0
+    for e in entries:
+        zq, r = e.get("zq"), e.get("row_count", 0)
+        if not zq:
+            return None
+        pts.extend((int(z), r / len(zq)) for z in zq)
+        total += r
+    if not pts or total <= 0:
+        return None
+    pts.sort()
+    targets = [j * total / n_out for j in range(1, n_out)]
+    bounds: list[int] = []
+    cum, ti = 0.0, 0
+    for z, w in pts:
+        cum += w
+        while ti < len(targets) and cum >= targets[ti]:
+            bounds.append(z)
+            ti += 1
+    while len(bounds) < n_out - 1:
+        bounds.append(pts[-1][0])
+    return bounds
+
+
 def plan_unit_bounds(
     spark: SparkSession,
     table_path: str,
@@ -182,20 +216,38 @@ def plan_unit_bounds(
     unit_n_out: dict[str, int],
     curve: str = "zorder",
 ) -> dict[str, list[int]]:
-    """Range boundaries for EVERY pending unit from ONE skinny job.
+    """Range boundaries for EVERY pending unit — from manifest metadata
+    when possible, one fused skinny job otherwise.
 
-    Per-unit boundary estimation serializes a scan+agg job into each
-    unit's critical path; here a single column-pruned, 1/8-hash-sampled
-    pass over a bounded file subset per unit (:func:`_sample_files`)
-    computes a fixed {grid} -quantile sketch per partition, and each
-    unit's n_out−1 boundaries are read off the grid driver-side (grid
-    granularity ≥ 4× any realistic n_out, so the extra rounding shifts
-    file sizes by ≪ the target/max headroom). One scan instead of one
-    per unit — and unit jobs start immediately.
+    Preferred path (:func:`_bounds_from_sketches`): merge the per-file
+    ``zq`` quantile sketches the stats pass already computed — no scan,
+    no Spark job, the units start immediately. The sketches are for the
+    default Morton curve, so this path requires ``curve == 'zorder'``
+    (Hilbert compactions scan).
+
+    Fallback (pre-sketch manifests): a single column-pruned,
+    1/8-hash-sampled pass over a bounded file subset per unit
+    (:func:`_sample_files`) computes a fixed {grid} -quantile sketch
+    per partition, and each unit's n_out−1 boundaries are read off the
+    grid driver-side (grid granularity ≥ 4× any realistic n_out, so
+    the extra rounding shifts file sizes by ≪ the target/max headroom).
+    One scan instead of one per unit.
     """
-    all_paths = [p for entries in unit_entries.values() for p in _sample_files(entries)]
+    out: dict[str, list[int]] = {}
+    scan_units: dict[str, list[dict]] = {}
+    for part, entries in unit_entries.items():
+        n_out = unit_n_out.get(part, 1)
+        if n_out <= 1:
+            continue
+        sketched = _bounds_from_sketches(entries, n_out) if curve == "zorder" else None
+        if sketched is not None:
+            out[part] = sketched
+        else:
+            scan_units[part] = entries
+
+    all_paths = [p for entries in scan_units.values() for p in _sample_files(entries)]
     if not all_paths:
-        return {}
+        return out
     data_dir = os.path.join(table_path, "data")
     skinny = (
         spark.read.option("basePath", data_dir)
@@ -211,10 +263,10 @@ def plan_unit_bounds(
         .collect()
     )
     grids = {r["source"]: r["g"] for r in rows}
-    out: dict[str, list[int]] = {}
-    for part, n_out in unit_n_out.items():
+    for part in scan_units:
+        n_out = unit_n_out[part]
         grid = grids.get(part)
-        if n_out <= 1 or not grid or n_out > _BOUNDS_GRID // 4:
+        if not grid or n_out > _BOUNDS_GRID // 4:
             continue  # huge unit: grid too coarse → per-unit estimation
         out[part] = [
             int(grid[min(len(grid) - 1, max(0, round(j * _BOUNDS_GRID / n_out) - 1))])

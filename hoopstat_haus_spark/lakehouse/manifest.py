@@ -41,8 +41,21 @@ def _file_bytes(table_path: str, rel_paths: list[str]) -> dict[str, int]:
     return {p: os.path.getsize(os.path.join(table_path, p)) for p in rel_paths}
 
 
+ZQ_GRID = 32  # per-file zkey quantile sketch resolution (31 cut points)
+
+
 def compute_file_stats(spark: SparkSession, table_path: str, rel_paths: list[str]) -> list[dict]:
-    """One distributed pass: per-file row/token counts + min/max stats."""
+    """One distributed pass: per-file row/token counts + min/max stats +
+    a {ZQ_GRID}-quantile Z-key sketch (``zq``).
+
+    The sketch is what lets compaction plan its range boundaries from
+    MANIFEST METADATA instead of re-scanning victim files (an Iceberg
+    planner reads footers, not data). Files that already carry a stored
+    ``_zkey`` sketch that column; unclustered files (fresh ingest — no
+    ``_zkey`` stored, zmin/zmax stay -1 so Z-pruning semantics are
+    unchanged) sketch the DERIVED default-curve Morton key, a pure-JVM
+    expression over (n_tok, doc_id) that whole-stage codegen fuses into
+    this same pass."""
     if not rel_paths:
         return []
     abs_paths = [os.path.join(table_path, p) for p in rel_paths]
@@ -51,6 +64,13 @@ def compute_file_stats(spark: SparkSession, table_path: str, rel_paths: list[str
     has_zkey = ZKEY_COL in df.columns
     zmin = F.min(ZKEY_COL) if has_zkey else F.lit(-1).cast("long")
     zmax = F.max(ZKEY_COL) if has_zkey else F.lit(-1).cast("long")
+    if has_zkey:
+        zsrc = F.col(ZKEY_COL)
+    else:
+        from hoopstat_haus_spark.lakehouse.zorder import zkey_expr_zorder
+
+        zsrc = zkey_expr_zorder(F.col("n_tok"), F.xxhash64(F.col("doc_id")), 0, 4096)
+    fracs = F.array(*[F.lit(i / ZQ_GRID) for i in range(1, ZQ_GRID)])
     rows = (
         df.groupBy(F.input_file_name().alias("file_uri"), F.col("source").alias("partition"))
         .agg(
@@ -62,6 +82,7 @@ def compute_file_stats(spark: SparkSession, table_path: str, rel_paths: list[str
             F.max("n_tok").alias("max_n_tok"),
             zmin.alias("zmin"),
             zmax.alias("zmax"),
+            F.percentile_approx(zsrc, fracs, F.lit(2000)).alias("zq"),
         )
         .collect()
     )
@@ -92,6 +113,10 @@ _MANIFEST_FIELDS = [
     ("zmin", pa.int64()),
     ("zmax", pa.int64()),
     ("file_bytes", pa.int64()),
+    # per-file Z-key quantile sketch (metadata-only compaction planning);
+    # null in manifests written before the sketch existed (planner falls
+    # back to a scan) and for files whose sketch a job couldn't compute
+    ("zq", pa.list_(pa.int64())),
 ]
 MANIFEST_ARROW_SCHEMA = pa.schema(_MANIFEST_FIELDS)
 

@@ -86,3 +86,64 @@ def test_group_totals():
 def test_size_estimator_matches_reference_compression_assumption():
     # 0.7 compression ratio, int32-token dominated (reference: partitioning.py:99-113)
     assert estimate_parquet_bytes(1000, 260.0) == int(1000 * (4 * 260.0 + 40) * 0.7)
+
+
+class TestSketchBounds:
+    """Metadata-only bounds planning (manifest zq sketches)."""
+
+    def test_stats_emit_sorted_sketch(self, spark, tmp_path):
+        from hoopstat_haus_spark.lakehouse import manifest as mf
+        from hoopstat_haus_spark.lakehouse.table import TokenLakeTable
+        from hoopstat_haus_spark.tables import synthetic
+
+        t = TokenLakeTable.create(spark, str(tmp_path / "t"), synthetic(spark, 4000), repartition_n=6)
+        for e in t.manifest_entries():
+            zq = e["zq"]
+            assert zq is not None and len(zq) == mf.ZQ_GRID - 1
+            assert zq == sorted(zq)
+            # unclustered ingest: pruning sentinel untouched
+            assert e["zmin"] == -1 and e["zmax"] == -1
+
+    def test_sketch_bounds_match_scan_bounds(self, spark, tmp_path):
+        """Driver-side merged-sketch boundaries must land close to the
+        scan-derived ones: same input, both estimators, each boundary
+        within a small mass fraction of the exact quantile."""
+        from hoopstat_haus_spark.lakehouse import compaction as C
+        from hoopstat_haus_spark.lakehouse import manifest as mf
+        from hoopstat_haus_spark.lakehouse.table import TokenLakeTable
+        from hoopstat_haus_spark.lakehouse.zorder import with_zkey
+        from hoopstat_haus_spark.tables import synthetic
+
+        t = TokenLakeTable.create(spark, str(tmp_path / "t"), synthetic(spark, 12000), repartition_n=12)
+        entries = [e for e in t.manifest_entries() if e["partition"] == "web"]
+        assert len(entries) >= 4
+        n_out = 6
+        sk = C._bounds_from_sketches(entries, n_out)
+        assert sk is not None and len(sk) == n_out - 1
+        assert sk == sorted(sk)
+        # exact quantiles of the true zkey distribution for comparison
+        df = t.scan().filter("source = 'web'")
+        zk = with_zkey(df.select("source", "doc_id", "n_tok")).select("_zkey")
+        total = zk.count()
+        for j, b in enumerate(sk, start=1):
+            below = zk.filter(f"_zkey <= {b}").count()
+            # each cut's realized mass within 6% of its target mass
+            assert abs(below / total - j / n_out) < 0.06, (j, below / total)
+
+    def test_pre_sketch_manifest_falls_back_to_scan(self, spark, tmp_path):
+        from hoopstat_haus_spark.lakehouse import compaction as C
+        from hoopstat_haus_spark.lakehouse.table import TokenLakeTable
+        from hoopstat_haus_spark.tables import synthetic
+
+        t = TokenLakeTable.create(spark, str(tmp_path / "t"), synthetic(spark, 4000), repartition_n=6)
+        entries = t.manifest_entries()
+        for e in entries:
+            e["zq"] = None  # simulate an old manifest
+        units = {}
+        for e in entries:
+            units.setdefault(e["partition"], []).append(e)
+        n_out = {p: 4 for p in units}
+        bounds = C.plan_unit_bounds(spark, t.path, units, n_out)
+        assert set(bounds) == set(units)
+        for b in bounds.values():
+            assert len(b) == 3 and b == sorted(b)
