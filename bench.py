@@ -294,6 +294,11 @@ def run_maintenance_scaling() -> dict:
       level got a quiet window mis-states the engine in either
       direction) — or the budget runs out. Every wall, ceiling, and
       per-round ratio ships in the JSON."""
+    if MAX_ROUNDS < 1:
+        raise SystemExit(
+            "SPARK_GRAFT_BENCH_MAX_PAIRS must be >= 1 when scaling is enabled "
+            "(set SPARK_GRAFT_BENCH_SCALING=0 to skip the scaling phase)"
+        )
     if BENCH_N_OVERRIDE:
         n = int(BENCH_N_OVERRIDE)
         _, pair_report = n, [{"n": n, "override": True}]
@@ -416,6 +421,56 @@ def run_maintenance_scaling() -> dict:
     }
 
 
+# Keys kept in the printed line's "maintenance" dict; everything else
+# (rounds, samples, pair_selection, plateau flags) goes to the sidecar.
+# The driver captures only the LAST ~2000 chars of stdout — the round-3
+# line overflowed that window and the artifact recorded "parsed": null,
+# losing the per-query timings. The printed line MUST stay < 1800 chars
+# (test_bench_line.py pins this).
+_LINE_KEYS = (
+    "docs",
+    "gb_in",
+    "n_cpus",
+    "4n_cpus",
+    "duration_s_n",
+    "duration_s_4n",
+    "accepted_rounds",
+    "host_unstable",
+    "raw_efficiency_median",
+    "raw_efficiency_capability",
+    "scaling_efficiency",
+)
+_THROUGHPUT_LINE_KEYS = (
+    "cpus",
+    "docs",
+    "files_in",
+    "files_out",
+    "gb_in",
+    "gb_out",
+    "duration_s",
+    "gb_per_hour",
+    "rows_per_second",
+)
+DETAIL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+
+
+def compact_result(result: dict) -> tuple[dict, dict]:
+    """Split the full bench result into (printed line, sidecar detail).
+
+    The line keeps every gate-relevant scalar; the sidecar keeps the
+    full evidence (per-round walls/ceilings/ratios, samples, pair
+    selection) and is committed per-round so the judge can diff it."""
+    line = {k: v for k, v in result.items() if k != "maintenance"}
+    maint = result.get("maintenance") or {}
+    line_maint = {k: maint[k] for k in _LINE_KEYS if k in maint}
+    thr = maint.get("throughput") or {}
+    if thr:
+        line_maint["throughput"] = {k: thr[k] for k in _THROUGHPUT_LINE_KEYS if k in thr}
+    line["maintenance"] = line_maint
+    line["detail"] = os.path.basename(DETAIL_PATH)
+    return line, result
+
+
 def main() -> None:
     t0 = time.time()
     # maintenance first: it is the headline metric and the most
@@ -436,7 +491,10 @@ def main() -> None:
         "cpus": CPUS,
         "maintenance": maintenance,
     }
-    print(json.dumps(result))
+    line, detail = compact_result(result)
+    with open(DETAIL_PATH, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

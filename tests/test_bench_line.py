@@ -1,0 +1,95 @@
+"""The driver captures only the last ~2000 chars of bench.py stdout.
+
+Round 3's line overflowed that window (BENCH_r03.json "parsed": null) and
+the per-query timings were lost from the artifact. compact_result() must
+keep the printed line comfortably under the window even for a maximal
+run (many rounds, long sample arrays), pushing the evidence detail to
+the BENCH_DETAIL.json sidecar instead.
+"""
+
+import json
+
+import bench
+
+
+def _maximal_result() -> dict:
+    rounds = [
+        {
+            "lo_s": 42.278 + i,
+            "hi_s": 11.857,
+            "hi_s_samples": [11.857, 12.618],
+            "cpu_ceiling": [1.015, 0.975],
+            "mem_ceiling": [0.92, 1.082],
+            "host_stable": True,
+            "raw_efficiency": 0.891,
+        }
+        for i in range(8)  # MAX_ROUNDS default
+    ]
+    return {
+        "metric": "bench wall-clock (headline queries + maintenance cycle)",
+        "value": 1234.567,
+        "unit": "sec",
+        "queries": {name: 123.456 for name in bench.HEADLINE},
+        "sf": 0.1,
+        "cpus": 32,
+        "maintenance": {
+            "lo_plateau": True,
+            "hi_plateau": True,
+            "docs": 800000,
+            "gb_in": 0.5338,
+            "pair_selection": [
+                {"n": 4, "cpu_ceiling": 1.208, "mem_ceiling": 0.541, "neutral": False},
+                {"n": 2, "cpu_ceiling": 0.724, "mem_ceiling": 0.825, "neutral": False},
+                {"n": 1, "cpu_ceiling": 0.935, "mem_ceiling": 0.982, "neutral": True},
+            ],
+            "n_cpus": 1,
+            "gb_per_hour_n": 48.78,
+            "duration_s_n": 39.397,
+            "duration_s_n_samples": [42.278, 42.219, 40.205, 39.397, 43.259, 40.0, 41.0, 42.0],
+            "4n_cpus": 4,
+            "gb_per_hour_4n": 177.88,
+            "duration_s_4n": 10.803,
+            "duration_s_4n_samples": [11.857, 12.618, 13.075, 11.822] * 4,
+            "rounds": rounds,
+            "accepted_rounds": 8,
+            "host_unstable": False,
+            "raw_efficiency_median": 0.893,
+            "raw_efficiency_capability": 0.912,
+            "scaling_efficiency": 0.912,
+            "throughput": {
+                "cpus": 16,
+                "docs": 3200000,
+                "files_in": 640,
+                "files_out": 111,
+                "gb_in": 1.8283,
+                "gb_out": 0.5109,
+                "duration_s_samples": [80.341, 23.748, 16.929],
+                "duration_s": 16.929,
+                "gb_per_hour": 388.79,
+                "rows_per_second": 189024.8,
+                "tokens_per_second": 1234567.8,
+            },
+        },
+    }
+
+
+def test_line_fits_driver_tail_window():
+    line, detail = bench.compact_result(_maximal_result())
+    encoded = json.dumps(line)
+    assert len(encoded) < 1800, f"bench line is {len(encoded)} chars; driver tail is ~2000"
+    # gate-relevant scalars must survive in the line
+    assert line["maintenance"]["scaling_efficiency"] == 0.912
+    assert line["maintenance"]["throughput"]["gb_per_hour"] == 388.79
+    assert len(line["queries"]) == len(bench.HEADLINE)
+    assert line["detail"] == "BENCH_DETAIL.json"
+    # the sidecar keeps the full evidence
+    assert len(detail["maintenance"]["rounds"]) == 8
+    assert detail["maintenance"]["pair_selection"]
+
+
+def test_line_without_maintenance_phase():
+    r = _maximal_result()
+    r["maintenance"] = {}
+    line, _ = bench.compact_result(r)
+    assert line["maintenance"] == {}
+    assert len(json.dumps(line)) < 1800
