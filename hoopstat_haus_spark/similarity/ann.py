@@ -209,6 +209,88 @@ def plant_scaled_dups(emb: DataFrame, every: int = 100, scale: float = 1.5) -> D
     return emb.select("vec_id", "embedding").unionByName(planted)
 
 
+def plan_lsh_bands(
+    n_rows: int,
+    threshold: float = 0.93,
+    max_bucket: int = 64,
+    miss_prob: float = 1e-3,
+    max_planes: int = 512,
+) -> tuple[int, int]:
+    """Derive (rows_per_band r, n_bands b) from corpus size and target
+    recall, so the bucket cap never silently eats the corpus.
+
+    Two forces: (1) bucket granularity must grow with N or every bucket
+    exceeds ``max_bucket`` and gets DROPPED — r ≥ log2(N / max_bucket)
+    keeps the EXPECTED bucket size under the cap; (2) recall at the
+    cosine ``threshold`` must survive the finer buckets — with
+    p_bit = 1 − θ/π (θ = arccos threshold), a pair collides in one band
+    w.p. p_bit^r, so b = ⌈ln(miss_prob) / ln(1 − p_bit^r)⌉ holds
+    P(miss) = (1 − p_bit^r)^b ≤ miss_prob exactly.
+
+    r·b is capped at ``max_planes`` (signature cost is r·b dot products
+    per row); if the cap binds, b shrinks and a warning reports the
+    achieved miss probability instead of silently under-recalling.
+    At the 500-row fixture this lands on exactly (4, 8) — the round-2/3
+    hand-picked defaults; at 1e9 rows it plans r=24 and grows b to
+    match, which the old fixed plan could not."""
+    import math
+    import warnings
+
+    r = max(4, min(24, math.ceil(math.log2(max(2.0, n_rows / max_bucket)))))
+    p_bit = 1.0 - math.acos(min(1.0, max(-1.0, threshold))) / math.pi
+    p_band = p_bit**r
+    b = max(1, math.ceil(math.log(miss_prob) / math.log(1.0 - p_band)))
+    if r * b > max_planes:
+        b = max(1, max_planes // r)
+        achieved = (1.0 - p_band) ** b
+        warnings.warn(
+            f"plan_lsh_bands: plane budget {max_planes} caps bands at {b}; "
+            f"miss probability at cosine {threshold} is ~{achieved:.2g} "
+            f"(target {miss_prob:.2g}) — raise max_planes for full recall",
+            stacklevel=2,
+        )
+    return r, b
+
+
+def lsh_bucket_drop_stats(
+    emb: DataFrame,
+    n_planes: int = 32,
+    n_bands: int = 8,
+    max_bucket: int = 64,
+    dim: int = 64,
+) -> DataFrame:
+    """One-row accounting of what the bucket cap discards:
+    (n_buckets, n_dropped_buckets, rows_in_dropped, drop_frac) where
+    drop_frac = banded-row fraction landing in over-cap buckets.
+    Production near-dup callers run this when auto-banding so a plan
+    that is silently dropping a corpus region surfaces as a warning
+    instead of missing recall quietly (a bucket over the cap
+    discriminates nothing — but the rows in it still deserve to be
+    counted as uncovered)."""
+    rows_per_band = n_planes // n_bands
+    sig = lsh_signature(F.col("embedding"), dim, n_planes)
+    banded = emb.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.substring(sig, b * rows_per_band + 1, rows_per_band).alias("bucket"),
+                ),
+            )
+        ).alias("bb")
+    ).select(F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    per_bucket = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    return per_bucket.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(F.col("n") > max_bucket, 1).otherwise(0)).cast("long").alias("n_dropped_buckets"),
+        F.sum(F.when(F.col("n") > max_bucket, F.col("n")).otherwise(0)).cast("long").alias("rows_in_dropped"),
+        F.round(
+            F.sum(F.when(F.col("n") > max_bucket, F.col("n")).otherwise(0)) / F.sum("n"), 6
+        ).alias("drop_frac"),
+    )
+
+
 def lsh_candidate_pairs(
     emb: DataFrame,
     n_planes: int = 32,
@@ -282,13 +364,38 @@ def embedding_near_dups(
     non-vacuously; the oracle brute-forces the same planted corpus to
     prove no pair above threshold is missed AND none below sneaks in.
     Production callers get the operator's true semantics on unmodified
-    data (inject defaults OFF)."""
+    data (inject defaults OFF).
+
+    The banding plan is ADAPTIVE (:func:`plan_lsh_bands`): rows-per-band
+    grows with log2(N/max_bucket) so bucket granularity tracks corpus
+    size, and the band count grows to hold the miss probability at
+    ``threshold`` — a fixed (32, 8) plan drops most buckets past ~1k
+    vectors. A drop-stats pass (:func:`lsh_bucket_drop_stats`) then
+    warns if a significant banded-row fraction still lands in over-cap
+    buckets (e.g. one giant near-identical cluster), instead of
+    discarding it silently. At the 500-row fixture the plan is exactly
+    the old hand-picked (r=4, b=8), so gate results are unchanged."""
+    import warnings
+
     emb = load(spark, sf_dir, "embeddings")
     if inject:
         emb = plant_scaled_dups(emb)
     else:
         emb = emb.select("vec_id", "embedding")
-    cand = lsh_candidate_pairs(emb, n_planes=32, n_bands=8)
+    max_bucket = 64
+    r, b = plan_lsh_bands(emb.count(), threshold=threshold, max_bucket=max_bucket)
+    stats = lsh_bucket_drop_stats(
+        emb, n_planes=r * b, n_bands=b, max_bucket=max_bucket
+    ).collect()[0]
+    if (stats["drop_frac"] or 0.0) > 0.2:
+        warnings.warn(
+            f"embedding_near_dups: {stats['drop_frac']:.1%} of banded rows fall in "
+            f"{stats['n_dropped_buckets']} over-cap buckets (plan r={r}, b={b}) — "
+            "near-dups inside those clusters are NOT candidates; raise max_bucket "
+            "or pre-split the dense cluster",
+            stacklevel=2,
+        )
+    cand = lsh_candidate_pairs(emb, n_planes=r * b, n_bands=b, max_bucket=max_bucket)
     e1 = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"))
     e2 = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"))
     return (

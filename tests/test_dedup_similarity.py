@@ -161,3 +161,53 @@ def test_ivf_ann_recall_vs_brute_force(spark):
         a.setdefault(r["q_id"], set()).add(r["vec_id"])
     recalls = [len(t[q] & a.get(q, set())) / len(t[q]) for q in t]
     assert sum(recalls) / len(recalls) >= 0.4, f"mean recall too low: {recalls}"
+
+
+def test_plan_lsh_bands_fixture_and_scale():
+    """Fixture-size corpora keep the hand-picked (4, 8) plan (gate
+    parity); large corpora grow r with log2(N/max_bucket) AND grow b to
+    hold recall at threshold; the plane budget binds with a warning."""
+    import warnings
+
+    from hoopstat_haus_spark.similarity.ann import plan_lsh_bands
+
+    import math
+
+    assert plan_lsh_bands(506, threshold=0.93) == (4, 8)
+    with warnings.catch_warnings(record=True):
+        warnings.simplefilter("always")
+        r, b = plan_lsh_bands(1_000_000, threshold=0.93)
+    assert r == 14  # ceil(log2(1e6/64))
+    # b grows toward the exact-recall band count, bounded by the plane
+    # budget (a capped plan warns instead of silently under-recalling)
+    p_bit = 1.0 - math.acos(0.93) / math.pi
+    exact_b = math.ceil(math.log(1e-3) / math.log(1.0 - p_bit**r))
+    assert b == min(exact_b, 512 // r)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        r9, b9 = plan_lsh_bands(10**9, threshold=0.93)
+        assert r9 == 24 and r9 * b9 <= 512
+        assert any("plane budget" in str(x.message) for x in w)
+
+
+def test_lsh_bucket_drop_stats_flags_hot_cluster(spark):
+    """The drop-stats accounting must attribute a giant identical-
+    direction cluster to over-cap buckets (drop_frac ≫ 0) while a plain
+    corpus reports ~0."""
+    from hoopstat_haus_spark.similarity.ann import lsh_bucket_drop_stats
+
+    base = load(spark, SF, "embeddings").limit(50).select("vec_id", "embedding")
+    hot = (
+        load(spark, SF, "embeddings")
+        .filter(F.col("vec_id") == 7)
+        .crossJoin(spark.range(300).select(F.col("id").alias("k")))
+        .select(
+            (F.col("k") + 1000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(1.0)).alias("embedding"),
+        )
+    )
+    clean = lsh_bucket_drop_stats(base).collect()[0]
+    assert (clean["drop_frac"] or 0.0) < 0.05
+    dirty = lsh_bucket_drop_stats(base.unionByName(hot)).collect()[0]
+    assert dirty["drop_frac"] > 0.5
+    assert dirty["n_dropped_buckets"] >= 1
