@@ -147,13 +147,18 @@ def _merge_run(
 
 def _merge_apply(table, updates, job_id, curve, metrics, ckpt, head, entries, schema, value_cols):
     spark = table.spark
-    n_dup = (
+    # ONE materializing aggregate: populates the persisted cache, probes
+    # for duplicate keys (max per-key count), and yields the feed row
+    # count — previously the dup probe and a later updates.count() were
+    # two separate jobs over the feed (serial seconds weigh 4× in the
+    # N→4N efficiency; see BENCH.md)
+    probe = (
         updates.groupBy("doc_id", "source")
         .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > 1)
-        .count()
+        .agg(F.max("n").alias("max_n"), F.sum("n").cast("long").alias("n_rows"))
+        .collect()[0]
     )
-    if n_dup:
+    if (probe["max_n"] or 0) > 1:
         dup = (
             updates.groupBy("doc_id", "source")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -213,24 +218,32 @@ def _merge_apply(table, updates, job_id, curve, metrics, ckpt, head, entries, sc
         .join(matched_keys, ["doc_id", "source"], "left_anti")
         .select(*schema.names())
     )
-    inserts = schema.apply_defaults(inserts)
-    # Size the insert write to the feed, not to shuffle.partitions: the
-    # anti-join inherits the session's partitioning, so a 10-row insert
-    # set would otherwise fragment into one tiny file per task — MERGE
-    # must not undo compaction. Bound by the update feed's row count
-    # (inserts ⊆ updates; the count is free off the persisted cache) and
-    # the table's observed bytes/row; empty partitions emit no files.
-    row_bytes = _avg_row_bytes(entries)
-    n_ins_parts = max(1, min(256, -(-updates.count() * row_bytes // INSERT_TARGET_FILE_BYTES)))
-    # hash on (source, doc-salt), not source alone: hashing only source
-    # caps non-empty partitions at the distinct-source count, so a big
-    # single-source backfill would sort+write as ONE task/file no matter
-    # what n_ins_parts says. The salt spreads within each source; the
-    # partitionBy('source') write still splits files per source per task.
-    salt = F.pmod(F.xxhash64("doc_id"), F.lit(int(n_ins_parts)))
-    inserts = inserts.repartition(int(n_ins_parts), "source", salt)
-    inserts = with_zkey(inserts, curve=curve).sortWithinPartitions("source", mf.ZKEY_COL)
-    new_files += table._write_files(inserts, f"insert-{job_id}", repartition_n=None)
+    inserts = schema.apply_defaults(inserts).persist()
+    try:
+        # Size the insert write to the ACTUAL insert count, not the
+        # whole feed: a mostly-upsert feed with a handful of new rows
+        # must not fan those few inserts across feed-sized partitions
+        # (up to 256 tiny files — MERGE must not undo compaction). The
+        # count materializes the persisted insert set (one skinny
+        # semi-join scan of candidate files); the write below then reads
+        # the cache instead of re-running the anti-join, so the file
+        # scan count is unchanged.
+        n_ins = inserts.count()
+        if n_ins:
+            row_bytes = _avg_row_bytes(entries)
+            n_ins_parts = max(1, min(256, -(-n_ins * row_bytes // INSERT_TARGET_FILE_BYTES)))
+            # hash on (source, doc-salt), not source alone: hashing only
+            # source caps non-empty partitions at the distinct-source
+            # count, so a big single-source backfill would sort+write as
+            # ONE task/file no matter what n_ins_parts says. The salt
+            # spreads within each source; the partitionBy('source')
+            # write still splits files per source per task.
+            salt = F.pmod(F.xxhash64("doc_id"), F.lit(int(n_ins_parts)))
+            sized = inserts.repartition(int(n_ins_parts), "source", salt)
+            sized = with_zkey(sized, curve=curve).sortWithinPartitions("source", mf.ZKEY_COL)
+            new_files += table._write_files(sized, f"insert-{job_id}", repartition_n=None)
+    finally:
+        inserts.unpersist()
 
     new_entries = [e for e in entries if e["file_path"] not in set(cand_paths)]
     fresh = mf.compute_file_stats(spark, table.path, new_files)

@@ -127,3 +127,29 @@ def test_merge_rejects_duplicate_update_keys(spark, tmp_table_dir):
     dup = one.unionByName(one)
     with pytest.raises(ValueError, match="duplicate update key"):
         merge_into(t, dup)
+
+
+def test_merge_insert_files_sized_to_insert_count(spark, tmp_table_dir):
+    """A mostly-upsert feed with a handful of genuinely-new rows must
+    size the insert write from the INSERT count (post anti-join), not
+    the whole feed — otherwise the few inserts fan out across up to 256
+    salted partitions as tiny files, undoing compaction."""
+    from hoopstat_haus_spark.lakehouse.merge import merge_into
+
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 4000), repartition_n=4)
+    # feed = 500 upserts + 3 new docs
+    ups = t.scan().filter(
+        F.expr("cast(substr(doc_id, 5) as long) % 8 = 0")
+    ).select("doc_id", "tokens", "n_tok", "source")
+    news = synthetic(spark, 4003).filter(
+        F.expr("cast(substr(doc_id, 5) as long) >= 4000")
+    ).select("doc_id", "tokens", "n_tok", "source")
+    before = {e["file_path"] for e in t.manifest_entries()}
+    merge_into(t, ups.unionByName(news))
+    ins_files = [
+        e for e in t.manifest_entries()
+        if e["file_path"] not in before and "/insert-" in e["file_path"]
+    ]
+    n_sources = news.select("source").distinct().count()
+    # sized from 3 inserts → 1 shuffle partition → ≤ one file per source
+    assert 1 <= len(ins_files) <= n_sources, [e["file_path"] for e in ins_files]
