@@ -175,7 +175,7 @@ def _sample_files(entries: list[dict], cap: int = _BOUNDS_FILE_CAP) -> list[str]
     return [paths[int(i * step)] for i in range(cap)]
 
 
-def _bounds_from_sketches(entries: list[dict], n_out: int) -> list[int] | None:
+def _bounds_from_sketches(entries: list[dict], n_out: int, curve: str = "zorder") -> list[int] | None:
     """Range boundaries from the manifest's per-file ``zq`` quantile
     sketches — pure driver-side arithmetic, ZERO data scanned.
 
@@ -184,12 +184,16 @@ def _bounds_from_sketches(entries: list[dict], n_out: int) -> list[int] | None:
     Sketch resolution (31 points/file × files) dwarfs n_out, and
     boundary error only shifts output file sizes, bounded well inside
     the policy's max/target headroom. Returns None when any file lacks
-    a sketch (pre-sketch manifest) — caller falls back to the scan."""
+    a sketch (pre-sketch manifest) or carries one computed with a
+    DIFFERENT curve than this run's (``zq_curve`` tag) — Hilbert-key
+    quantiles interpreted as Morton cuts, or vice versa, would skew
+    output file sizes arbitrarily past the policy; mismatches fall back
+    to the scan."""
     pts: list[tuple[int, float]] = []
     total = 0
     for e in entries:
         zq, r = e.get("zq"), e.get("row_count", 0)
-        if not zq:
+        if not zq or e.get("zq_curve") != curve:
             return None
         pts.extend((int(z), r / len(zq)) for z in zq)
         total += r
@@ -221,11 +225,12 @@ def plan_unit_bounds(
 
     Preferred path (:func:`_bounds_from_sketches`): merge the per-file
     ``zq`` quantile sketches the stats pass already computed — no scan,
-    no Spark job, the units start immediately. The sketches are for the
-    default Morton curve, so this path requires ``curve == 'zorder'``
-    (Hilbert compactions scan).
+    no Spark job, the units start immediately. Sketches are curve-tagged
+    (``zq_curve``), so Hilbert compactions of Hilbert-sketched files
+    plan metadata-only too; a curve mismatch (or pre-tag manifest)
+    falls back to the scan.
 
-    Fallback (pre-sketch manifests): a single column-pruned,
+    Fallback (pre-sketch/mismatched manifests): a single column-pruned,
     1/8-hash-sampled pass over a bounded file subset per unit
     (:func:`_sample_files`) computes a fixed {grid} -quantile sketch
     per partition, and each unit's n_out−1 boundaries are read off the
@@ -239,7 +244,7 @@ def plan_unit_bounds(
         n_out = unit_n_out.get(part, 1)
         if n_out <= 1:
             continue
-        sketched = _bounds_from_sketches(entries, n_out) if curve == "zorder" else None
+        sketched = _bounds_from_sketches(entries, n_out, curve)
         if sketched is not None:
             out[part] = sketched
         else:

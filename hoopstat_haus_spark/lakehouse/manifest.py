@@ -44,9 +44,21 @@ def _file_bytes(table_path: str, rel_paths: list[str]) -> dict[str, int]:
 ZQ_GRID = 32  # per-file zkey quantile sketch resolution (31 cut points)
 
 
-def compute_file_stats(spark: SparkSession, table_path: str, rel_paths: list[str]) -> list[dict]:
+def compute_file_stats(
+    spark: SparkSession, table_path: str, rel_paths: list[str], curve: str = "zorder"
+) -> list[dict]:
     """One distributed pass: per-file row/token counts + min/max stats +
-    a {ZQ_GRID}-quantile Z-key sketch (``zq``).
+    a {ZQ_GRID}-quantile Z-key sketch (``zq``) tagged with its curve
+    (``zq_curve``).
+
+    ``curve`` names the space-filling curve the files' STORED ``_zkey``
+    was written with (the writing job knows it); the tag is what lets
+    the compaction planner refuse to interpret Hilbert-key quantiles as
+    Morton cuts (or vice versa) on mixed-curve tables — it takes the
+    metadata-only bounds path only when every sketch's curve matches
+    the current run's. Unclustered files (no stored ``_zkey``) always
+    sketch the DERIVED Morton key and are tagged ``zorder`` regardless
+    of ``curve``.
 
     The sketch is what lets compaction plan its range boundaries from
     MANIFEST METADATA instead of re-scanning victim files (an Iceberg
@@ -89,6 +101,7 @@ def compute_file_stats(spark: SparkSession, table_path: str, rel_paths: list[str
     # normalize file URIs (file:///...) back to table-relative paths
     prefix = "file:" + table_path.rstrip("/") + "/"
     sizes = _file_bytes(table_path, rel_paths)
+    zq_curve = curve if has_zkey else "zorder"
     out = []
     for r in rows:
         uri = r["file_uri"]
@@ -97,6 +110,7 @@ def compute_file_stats(spark: SparkSession, table_path: str, rel_paths: list[str
         d.pop("file_uri")
         d["file_path"] = rel
         d["file_bytes"] = sizes[rel]
+        d["zq_curve"] = zq_curve
         out.append(d)
     return out
 
@@ -117,6 +131,9 @@ _MANIFEST_FIELDS = [
     # null in manifests written before the sketch existed (planner falls
     # back to a scan) and for files whose sketch a job couldn't compute
     ("zq", pa.list_(pa.int64())),
+    # which curve the zq sketch (and stored _zkey) was computed with;
+    # null for pre-tag manifests (planner treats as unsketched)
+    ("zq_curve", pa.string()),
 ]
 MANIFEST_ARROW_SCHEMA = pa.schema(_MANIFEST_FIELDS)
 

@@ -246,7 +246,7 @@ def _merge_apply(table, updates, job_id, curve, metrics, ckpt, head, entries, sc
         inserts.unpersist()
 
     new_entries = [e for e in entries if e["file_path"] not in set(cand_paths)]
-    fresh = mf.compute_file_stats(spark, table.path, new_files)
+    fresh = mf.compute_file_stats(spark, table.path, new_files, curve=curve)
     metrics.files_out = len(fresh)
     metrics.bytes_out = sum(e["file_bytes"] for e in fresh)
     metrics.rows = sum(e["row_count"] for e in fresh)

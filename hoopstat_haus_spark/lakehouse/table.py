@@ -212,8 +212,14 @@ class TokenLakeTable:
         strategy: str = "sort",
         job_id: str | None = None,
         max_concurrent_units: int = 4,
+        sources: list[str] | None = None,
     ) -> tuple[Snapshot | None, JobMetrics]:
         """Full compaction + Z-order cycle; resumable via ``job_id``.
+
+        ``sources`` restricts the run to the named partitions (targeted
+        maintenance: incremental compaction of changed partitions, or
+        per-partition curve choice); None compacts every partition the
+        planner flags.
 
         Per-partition units run through the lineage checkpoint: a re-run
         with the same job_id skips finished partitions (their outputs are
@@ -231,7 +237,7 @@ class TokenLakeTable:
         metrics = JobMetrics(job=job_id)
         try:
             return self._compact_run(
-                policy, curve, strategy, job_id, max_concurrent_units, metrics
+                policy, curve, strategy, job_id, max_concurrent_units, metrics, sources
             )
         except Exception as exc:
             # crashed maintenance must surface in the health rollup:
@@ -258,10 +264,13 @@ class TokenLakeTable:
         job_id: str,
         max_concurrent_units: int,
         metrics: JobMetrics,
+        sources: list[str] | None = None,
     ) -> tuple[Snapshot | None, JobMetrics]:
         head = self.log.current()
         entries = mf.read_manifest(self.path, head.manifest)
         plans = plan_compaction(entries, policy)
+        if sources is not None:
+            plans = {p: g for p, g in plans.items() if p in set(sources)}
         if not plans:
             return None, metrics.finish()
 
@@ -324,7 +333,7 @@ class TokenLakeTable:
             # overlaps other units' rewrites instead of serializing one
             # all-files stats job between the last rewrite and the
             # commit (the serial tail costs 4x in N->4N scaling)
-            stats = mf.compute_file_stats(self.spark, self.path, out)
+            stats = mf.compute_file_stats(self.spark, self.path, out, curve=curve)
             ckpt.done(
                 part,
                 in_paths,
@@ -371,7 +380,9 @@ class TokenLakeTable:
 
         new_entries = [e for e in entries if e["file_path"] not in rewritten]
         if stale_stat_files:  # resumed units checkpointed before stats existed
-            fresh.extend(mf.compute_file_stats(self.spark, self.path, stale_stat_files))
+            fresh.extend(
+                mf.compute_file_stats(self.spark, self.path, stale_stat_files, curve=curve)
+            )
         metrics.files_out = len(fresh)
         metrics.bytes_out = sum(e["file_bytes"] for e in fresh)
         new_entries.extend(fresh)

@@ -147,3 +147,48 @@ class TestSketchBounds:
         assert set(bounds) == set(units)
         for b in bounds.values():
             assert len(b) == 3 and b == sorted(b)
+
+
+class TestCurveTaggedSketches:
+    def test_hilbert_sketches_plan_metadata_only(self, spark, tmp_path):
+        """A Hilbert-compacted table's sketches are tagged 'hilbert' and
+        a subsequent Hilbert compaction plans bounds WITHOUT any Spark
+        job (spark=None proves the scan fallback is never touched)."""
+        from hoopstat_haus_spark.lakehouse import compaction as C
+        from hoopstat_haus_spark.lakehouse.table import TokenLakeTable
+        from hoopstat_haus_spark.tables import synthetic
+
+        t = TokenLakeTable.create(spark, str(tmp_path / "t"), synthetic(spark, 6000), repartition_n=8)
+        pol = C.CompactionPolicy(min_file_bytes=1 << 20, target_file_bytes=2 << 20, max_file_bytes=4 << 20)
+        snap, _ = t.compact(pol, curve="hilbert")
+        assert snap is not None
+        entries = t.manifest_entries()
+        assert entries and all(e["zq_curve"] == "hilbert" for e in entries)
+        assert all(e["zmin"] >= 0 for e in entries)
+
+        units: dict[str, list[dict]] = {}
+        for e in entries:
+            units.setdefault(e["partition"], []).append(e)
+        n_out = {p: 3 for p in units}
+        bounds = C.plan_unit_bounds(None, t.path, units, n_out, curve="hilbert")
+        assert set(bounds) == set(units)
+        for b in bounds.values():
+            assert len(b) == 2 and b == sorted(b)
+
+    def test_curve_mismatch_refuses_metadata_path(self, spark, tmp_path):
+        """Morton-tagged sketches must NOT be read as Hilbert cuts (and
+        vice versa): the mixed-curve case falls back to the scan, which
+        derives the requested curve's keys fresh."""
+        from hoopstat_haus_spark.lakehouse import compaction as C
+        from hoopstat_haus_spark.lakehouse.table import TokenLakeTable
+        from hoopstat_haus_spark.tables import synthetic
+
+        t = TokenLakeTable.create(spark, str(tmp_path / "t"), synthetic(spark, 4000), repartition_n=6)
+        entries = [e for e in t.manifest_entries() if e["partition"] == "web"]
+        assert all(e["zq_curve"] == "zorder" for e in entries)
+        assert C._bounds_from_sketches(entries, 4, "zorder") is not None
+        assert C._bounds_from_sketches(entries, 4, "hilbert") is None
+        # pre-tag manifests (zq_curve null) also refuse the metadata path
+        for e in entries:
+            e["zq_curve"] = None
+        assert C._bounds_from_sketches(entries, 4, "zorder") is None

@@ -90,3 +90,40 @@ def test_jvm_zkey_expr_matches_arrow_kernel(spark):
         .count()
     )
     assert mism == 0
+
+
+def test_mixed_curve_compaction_disjoint_tagged_and_lossless(spark, tmp_path):
+    """One partition compacts on Hilbert, the rest on Morton (the
+    maint_compact_scan gate shape): per-partition z-ranges must be
+    disjoint under EACH curve, manifest sketches must carry the right
+    curve tag, and the token payload must survive bit-exact."""
+    from pyspark.sql import functions as F
+
+    from hoopstat_haus_spark.lakehouse import CompactionPolicy, TokenLakeTable
+    from hoopstat_haus_spark.tables import synthetic, token_sig
+
+    pol = CompactionPolicy(min_file_bytes=1 << 20, target_file_bytes=2 << 20, max_file_bytes=4 << 20)
+    t = TokenLakeTable.create(spark, str(tmp_path / "t"), synthetic(spark, 8000), repartition_n=8)
+    pre = sorted(tuple(r) for r in t.scan().select("doc_id", token_sig("tokens").alias("s")).collect())
+    parts = sorted({e["partition"] for e in t.manifest_entries()})
+    assert len(parts) >= 2
+    snap_h, _ = t.compact(pol, curve="hilbert", sources=[parts[0]])
+    assert snap_h is not None
+    snap_z, _ = t.compact(pol)
+    assert snap_z is not None
+
+    entries = t.manifest_entries()
+    by_part: dict[str, list[dict]] = {}
+    for e in entries:
+        by_part.setdefault(e["partition"], []).append(e)
+    assert set(by_part) == set(parts)
+    for part, es in by_part.items():
+        want = "hilbert" if part == parts[0] else "zorder"
+        assert all(e["zq_curve"] == want for e in es), (part, [e["zq_curve"] for e in es])
+        ranges = sorted((e["zmin"], e["zmax"]) for e in es)
+        assert all(zmin >= 0 for zmin, _ in ranges)
+        for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+            assert b_lo > a_hi, f"overlapping {want} ranges in {part}"
+
+    post = sorted(tuple(r) for r in t.scan().select("doc_id", token_sig("tokens").alias("s")).collect())
+    assert pre == post
