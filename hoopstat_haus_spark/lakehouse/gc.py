@@ -69,7 +69,10 @@ def collect_garbage(
     reachable_manifests: set[str] = set()
     for sid in log.list_ids():
         snap = log.get(sid)
-        reachable_manifests.add(snap.manifest)
+        # a list manifest reaches itself AND its shard parquets; shards
+        # carried by reference across snapshots stay reachable as long
+        # as ANY retained list names them
+        reachable_manifests.update(mf.manifest_files(table_path, snap.manifest))
         for e in mf.read_manifest(table_path, snap.manifest):
             reachable_data.add(e["file_path"])
     reachable_data |= _checkpoint_protected(table_path)

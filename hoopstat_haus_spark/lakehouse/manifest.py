@@ -20,8 +20,15 @@ Scale note: the stats pass reads ONLY (doc_id, n_tok, _zkey) — column
 pruning keeps it to a few % of table bytes because `tokens` (the payload)
 is never scanned. The groupBy key is ``input_file_name()`` so partial
 aggregation happens map-side per file; the shuffle is (files × 1 row).
-Manifests themselves are metadata-scale, written as a single parquet via
-pyarrow on the driver.
+
+Layout (Iceberg manifest-list design; reference ancestor ADR-024's JSON
+catalog): a snapshot points at a LIST file (`_manifests/list-*.json`,
+one record per partition with exact aggregates) which points at
+per-partition SHARD parquets (`_manifests/shard-*.parquet`, one row per
+data file). Commits rewrite only touched partitions' shards; at ~10^6
+files / 10^4 partitions a single-partition MERGE writes KBs of
+metadata, not an O(all-files) monolith, and planners read only the
+shards the list says can matter.
 """
 
 from __future__ import annotations
@@ -138,19 +145,169 @@ _MANIFEST_FIELDS = [
 MANIFEST_ARROW_SCHEMA = pa.schema(_MANIFEST_FIELDS)
 
 
-def write_manifest(table_path: str, entries: list[dict]) -> str:
-    """Write a manifest parquet; returns its table-relative path."""
+# --------------------------------------------------------------- shards
+#
+# A snapshot's manifest is a LIST file (JSON, metadata-scale: one record
+# per partition) pointing at per-partition SHARD parquets (one row per
+# data file). Commits rewrite only the touched partitions' shards and
+# carry the rest by reference — the Iceberg manifest-list design — so a
+# MERGE into 1 of 10^4 partitions writes one shard + one small list, not
+# an O(all-files) monolith. Planning reads only the shards it needs,
+# guided by the list's exact per-shard aggregates.
+#
+# Back-compat: manifests written before sharding are a single parquet
+# (`manifest-*.parquet`); readers detect them by extension and read them
+# whole, and the first commit on top converts the table to shards.
+
+
+def is_manifest_list(rel_path: str) -> bool:
+    return rel_path.endswith(".json")
+
+
+def shard_record(partition: str, rel_path: str, entries: list[dict]) -> dict:
+    """List-file record: exact per-shard aggregates so planners can skip
+    reading shards that cannot contain work — the candidate test in
+    plan_compaction (undersized / oversized / unclustered file exists)
+    and scan pruning (source, n_tok range) evaluate EXACTLY on these."""
+    return {
+        "partition": partition,
+        "path": rel_path,
+        "n_files": len(entries),
+        "row_count": int(sum(e["row_count"] for e in entries)),
+        "token_count": int(sum(e["token_count"] for e in entries)),
+        "file_bytes": int(sum(e["file_bytes"] for e in entries)),
+        "min_file_bytes": int(min(e["file_bytes"] for e in entries)),
+        "max_file_bytes": int(max(e["file_bytes"] for e in entries)),
+        "n_unclustered": sum(1 for e in entries if e["zmin"] < 0),
+        "min_n_tok": int(min(e["min_n_tok"] for e in entries)),
+        "max_n_tok": int(max(e["max_n_tok"] for e in entries)),
+    }
+
+
+def _write_shard(table_path: str, partition: str, entries: list[dict]) -> dict:
     os.makedirs(os.path.join(table_path, "_manifests"), exist_ok=True)
-    rel = f"_manifests/manifest-{uuid.uuid4().hex[:12]}.parquet"
+    rel = f"_manifests/shard-{uuid.uuid4().hex[:12]}.parquet"
     cols = {name: [e.get(name) for e in entries] for name, _ in _MANIFEST_FIELDS}
-    table = pa.Table.from_pydict(cols, schema=MANIFEST_ARROW_SCHEMA)
-    pq.write_table(table, os.path.join(table_path, rel))
+    pq.write_table(
+        pa.Table.from_pydict(cols, schema=MANIFEST_ARROW_SCHEMA),
+        os.path.join(table_path, rel),
+    )
+    return shard_record(partition, rel, entries)
+
+
+def _write_list(table_path: str, records: list[dict]) -> str:
+    import json
+
+    os.makedirs(os.path.join(table_path, "_manifests"), exist_ok=True)
+    rel = f"_manifests/list-{uuid.uuid4().hex[:12]}.json"
+    body = {"format_version": 2, "shards": sorted(records, key=lambda r: r["partition"])}
+    with open(os.path.join(table_path, rel), "w") as f:
+        json.dump(body, f, indent=1)
     return rel
 
 
+def read_manifest_list(table_path: str, rel_path: str) -> list[dict]:
+    """Shard records of a list manifest. For a LEGACY monolithic
+    manifest, synthesizes in-memory records (``path`` None, ``entries``
+    attached) so callers get one uniform shape; the next commit's
+    :func:`update_manifest` converts those to real shards."""
+    import json
+
+    if is_manifest_list(rel_path):
+        with open(os.path.join(table_path, rel_path)) as f:
+            return json.load(f)["shards"]
+    by_part: dict[str, list[dict]] = {}
+    for e in pq.read_table(os.path.join(table_path, rel_path)).to_pylist():
+        by_part.setdefault(e["partition"], []).append(e)
+    out = []
+    for part, entries in sorted(by_part.items()):
+        rec = shard_record(part, None, entries)
+        rec["entries"] = entries
+        out.append(rec)
+    return out
+
+
+def read_shard(table_path: str, record: dict) -> list[dict]:
+    """Entries of one shard record (legacy records carry them inline)."""
+    if record.get("path") is None:
+        return record["entries"]
+    return pq.read_table(os.path.join(table_path, record["path"])).to_pylist()
+
+
+def update_manifest(
+    table_path: str,
+    base_rel: str | None,
+    changed: dict[str, list[dict]],
+) -> tuple[str, list[dict]]:
+    """Commit-side manifest update: write NEW shards for the partitions
+    in ``changed`` (mapping partition → its full new entry list; an
+    empty list drops the partition), carry every other shard by
+    reference, and write the new list. Returns (list rel, records).
+    O(touched partitions) writes + O(partitions) list I/O — never
+    O(all files). A legacy monolithic base converts fully on this
+    commit (its synthesized records carry entries inline)."""
+    records: list[dict] = []
+    if base_rel is not None:
+        for rec in read_manifest_list(table_path, base_rel):
+            if rec["partition"] in changed:
+                continue
+            if rec.get("path") is None:  # legacy: materialize as a shard
+                rec = _write_shard(table_path, rec["partition"], rec["entries"])
+            records.append(rec)
+    for part, entries in sorted(changed.items()):
+        if entries:
+            records.append(_write_shard(table_path, part, entries))
+    return _write_list(table_path, records), records
+
+
+def summary_from_records(records: list[dict]) -> dict:
+    return {
+        "files": int(sum(r["n_files"] for r in records)),
+        "rows": int(sum(r["row_count"] for r in records)),
+        "tokens": int(sum(r["token_count"] for r in records)),
+        "bytes": int(sum(r["file_bytes"] for r in records)),
+        "partitions": len(records),
+    }
+
+
+def write_manifest(table_path: str, entries: list[dict]) -> str:
+    """Full manifest write (create / whole-table rewrite): shard every
+    partition + write the list; returns the LIST's table-relative path."""
+    by_part: dict[str, list[dict]] = {}
+    for e in entries:
+        by_part.setdefault(e["partition"], []).append(e)
+    rel, _records = update_manifest(table_path, None, by_part)
+    return rel
+
+
+def manifest_files(table_path: str, rel_path: str) -> list[str]:
+    """Every metadata file a manifest rel reaches (itself + its shards)
+    — the GC reachability set for manifests."""
+    if not is_manifest_list(rel_path):
+        return [rel_path]
+    return [rel_path] + [
+        r["path"] for r in read_manifest_list(table_path, rel_path) if r.get("path")
+    ]
+
+
 def read_manifest(table_path: str, rel_path: str) -> list[dict]:
+    """ALL entries of a manifest (list or legacy monolithic). O(files) —
+    planners should prefer read_manifest_list + read_shard on the
+    partitions they actually touch."""
+    if is_manifest_list(rel_path):
+        out: list[dict] = []
+        for rec in read_manifest_list(table_path, rel_path):
+            out.extend(read_shard(table_path, rec))
+        return out
     return pq.read_table(os.path.join(table_path, rel_path)).to_pylist()
 
 
 def manifest_df(spark: SparkSession, table_path: str, rel_path: str) -> DataFrame:
+    if is_manifest_list(rel_path):
+        paths = [
+            os.path.join(table_path, r["path"])
+            for r in read_manifest_list(table_path, rel_path)
+            if r.get("path")
+        ]
+        return spark.read.parquet(*paths)
     return spark.read.parquet(os.path.join(table_path, rel_path))

@@ -40,10 +40,11 @@ OP_COL = "_op"  # optional in updates: 'upsert' (default) | 'delete'
 INSERT_TARGET_FILE_BYTES = 128 << 20
 
 
-def _avg_row_bytes(entries: list[dict]) -> int:
-    """Observed bytes/row from the live manifest (fallback 1 KiB)."""
-    rows = sum(e["row_count"] for e in entries)
-    return max(1, sum(e["file_bytes"] for e in entries) // rows) if rows else 1024
+def _avg_row_bytes(records: list[dict]) -> int:
+    """Observed bytes/row from the manifest LIST's per-shard aggregates
+    (no shard parquet is read; fallback 1 KiB)."""
+    rows = sum(r["row_count"] for r in records)
+    return max(1, sum(r["file_bytes"] for r in records) // rows) if rows else 1024
 
 
 def _candidate_files(spark: SparkSession, entries: list[dict], updates: DataFrame) -> list[dict]:
@@ -113,7 +114,9 @@ def _merge_run(
     spark = table.spark
     ckpt = JobCheckpoint(table.path, job_id)
     head = table.log.current()
-    entries = mf.read_manifest(table.path, head.manifest)
+    # manifest LIST only — per-partition shards are read later, and only
+    # for the partitions the update feed actually touches
+    records = mf.read_manifest_list(table.path, head.manifest)
 
     schema = table.schema_def()
     value_cols = [f for f in schema.fields if f["name"] not in ("doc_id", "source")]
@@ -139,25 +142,31 @@ def _merge_run(
     updates = updates.select(*proj, F.col(OP_COL)).persist()
     try:
         return _merge_apply(
-            table, updates, job_id, curve, metrics, ckpt, head, entries, schema, value_cols
+            table, updates, job_id, curve, metrics, ckpt, head, records, schema, value_cols
         )
     finally:
         updates.unpersist()
 
 
-def _merge_apply(table, updates, job_id, curve, metrics, ckpt, head, entries, schema, value_cols):
+def _merge_apply(table, updates, job_id, curve, metrics, ckpt, head, records, schema, value_cols):
     spark = table.spark
     # ONE materializing aggregate: populates the persisted cache, probes
-    # for duplicate keys (max per-key count), and yields the feed row
-    # count — previously the dup probe and a later updates.count() were
-    # two separate jobs over the feed (serial seconds weigh 4× in the
-    # N→4N efficiency; see BENCH.md)
+    # for duplicate keys (max per-key count), yields the feed row count,
+    # AND the feed's distinct partitions (which decide the manifest
+    # shards to read) — previously the dup probe and a later
+    # updates.count() were two separate jobs over the feed (serial
+    # seconds weigh 4× in the N→4N efficiency; see BENCH.md)
     probe = (
         updates.groupBy("doc_id", "source")
         .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.max("n").alias("max_n"), F.sum("n").cast("long").alias("n_rows"))
+        .agg(
+            F.max("n").alias("max_n"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.collect_set("source").alias("feed_parts"),
+        )
         .collect()[0]
     )
+    feed_parts = set(probe["feed_parts"] or [])
     if (probe["max_n"] or 0) > 1:
         dup = (
             updates.groupBy("doc_id", "source")
@@ -172,7 +181,16 @@ def _merge_apply(table, updates, job_id, curve, metrics, ckpt, head, entries, sc
             "dedupe the update set first"
         )
 
-    cand = _candidate_files(spark, entries, updates)
+    # read ONLY the feed partitions' manifest shards: untouched
+    # partitions never materialize driver-side, so a MERGE into 1 of
+    # 10^4 partitions plans against one shard's entries
+    shard_entries = {
+        r["partition"]: mf.read_shard(table.path, r)
+        for r in records
+        if r["partition"] in feed_parts
+    }
+    touched_entries = [e for es in shard_entries.values() for e in es]
+    cand = _candidate_files(spark, touched_entries, updates)
     cand_paths = [e["file_path"] for e in cand]
     metrics.files_in = len(cand_paths)
     metrics.bytes_in = sum(e["file_bytes"] for e in cand)
@@ -230,7 +248,7 @@ def _merge_apply(table, updates, job_id, curve, metrics, ckpt, head, entries, sc
         # scan count is unchanged.
         n_ins = inserts.count()
         if n_ins:
-            row_bytes = _avg_row_bytes(entries)
+            row_bytes = _avg_row_bytes(records)
             n_ins_parts = max(1, min(256, -(-n_ins * row_bytes // INSERT_TARGET_FILE_BYTES)))
             # hash on (source, doc-salt), not source alone: hashing only
             # source caps non-empty partitions at the distinct-source
@@ -245,13 +263,11 @@ def _merge_apply(table, updates, job_id, curve, metrics, ckpt, head, entries, sc
     finally:
         inserts.unpersist()
 
-    new_entries = [e for e in entries if e["file_path"] not in set(cand_paths)]
     fresh = mf.compute_file_stats(spark, table.path, new_files, curve=curve)
     metrics.files_out = len(fresh)
     metrics.bytes_out = sum(e["file_bytes"] for e in fresh)
     metrics.rows = sum(e["row_count"] for e in fresh)
     metrics.tokens = sum(e["token_count"] for e in fresh)
-    new_entries.extend(fresh)
     ckpt.done(
         "rewrite",
         cand_paths,
@@ -260,7 +276,19 @@ def _merge_apply(table, updates, job_id, curve, metrics, ckpt, head, entries, sc
         tokens=metrics.tokens,
         duration_s=time.time() - t0,
     )
-    rel = mf.write_manifest(table.path, new_entries)
+    # new shards only for partitions that actually changed (a rewritten
+    # file or a fresh output); everything else rides by reference
+    dropped = set(cand_paths)
+    fresh_by_part: dict[str, list[dict]] = {}
+    for e in fresh:
+        fresh_by_part.setdefault(e["partition"], []).append(e)
+    changed_parts = {e["partition"] for e in cand} | set(fresh_by_part)
+    changed = {
+        part: [e for e in shard_entries.get(part, []) if e["file_path"] not in dropped]
+        + fresh_by_part.get(part, [])
+        for part in changed_parts
+    }
+    rel, new_records = mf.update_manifest(table.path, head.manifest, changed)
     snap = table.log.commit(
         rel,
         "merge",
@@ -268,7 +296,7 @@ def _merge_apply(table, updates, job_id, curve, metrics, ckpt, head, entries, sc
             "job_id": job_id,
             "rewritten_files": len(cand_paths),
             "new_files": len(fresh),
-            "rows": int(sum(e["row_count"] for e in new_entries)),
+            "rows": mf.summary_from_records(new_records)["rows"],
             "schema_version": schema.version,
         },
         expected_parent=head.snapshot_id,

@@ -3,9 +3,13 @@
 Layout (SURVEY.md §7.2):
 
     <path>/data/source=<s>/<file>.parquet     data files (Hive dirs)
-    <path>/_manifests/manifest-*.parquet      per-file stats (manifest.py)
+    <path>/_manifests/list-*.json             manifest list (1 record/partition)
+    <path>/_manifests/shard-*.parquet         per-partition file-stats shards
     <path>/_snapshots/v<N>.json + current     snapshot log (snapshots.py)
     <path>/_checkpoints/<job_id>/*.json       lineage (checkpoint.py)
+
+    (pre-sharding tables: _manifests/manifest-*.parquet monoliths are
+    still readable; the first commit converts them to shards)
 
 Readers always resolve data files THROUGH a snapshot's manifest — never
 by listing directories — which is what makes commits atomic and scans
@@ -143,14 +147,26 @@ class TokenLakeTable:
         return {**summary, "schema_version": self.schema_def().version}
 
     def append(self, df: DataFrame, repartition_n: int | None = None) -> Snapshot:
+        """Append a batch. Manifest cost is O(touched partitions): only
+        the partitions the batch lands in get a new shard; the rest of
+        the table is carried by reference in the new manifest list."""
         head = self.log.current()
         new_files = self._write_files(self.schema_def().conform(df), "append", repartition_n)
-        entries = mf.read_manifest(self.path, head.manifest) + mf.compute_file_stats(
-            self.spark, self.path, new_files
-        )
-        rel = mf.write_manifest(self.path, entries)
+        fresh = mf.compute_file_stats(self.spark, self.path, new_files)
+        by_part: dict[str, list[dict]] = {}
+        for e in fresh:
+            by_part.setdefault(e["partition"], []).append(e)
+        base = {r["partition"]: r for r in mf.read_manifest_list(self.path, head.manifest)}
+        changed = {
+            part: (mf.read_shard(self.path, base[part]) if part in base else []) + entries
+            for part, entries in by_part.items()
+        }
+        rel, records = mf.update_manifest(self.path, head.manifest, changed)
         return self.log.commit(
-            rel, "append", self._stamp(_summary(entries)), expected_parent=head.snapshot_id
+            rel,
+            "append",
+            self._stamp(mf.summary_from_records(records)),
+            expected_parent=head.snapshot_id,
         )
 
     # ------------------------------------------------------------- read
@@ -175,9 +191,25 @@ class TokenLakeTable:
         driver-side analog of the reference's QueryPatternOptimizer prefix
         pruning (``partitioning.py:166-266``) — then again as real
         filters so parquet row-group pushdown finishes the job.
+
+        Pruning is TWO-level: the manifest list's per-shard aggregates
+        drop whole partitions first (a pruned shard's parquet is never
+        even opened), then the surviving shards' per-file stats prune
+        files. A source-filtered scan of a 10^4-partition table reads
+        exactly the named partitions' shards.
         """
         schema = self.schema_def(snapshot_id)
-        entries = self.manifest_entries(snapshot_id)
+        snap = self.log.get(snapshot_id) if snapshot_id else self.log.current()
+        entries: list[dict] = []
+        if snap is not None:
+            for rec in mf.read_manifest_list(self.path, snap.manifest):
+                if sources is not None and rec["partition"] not in sources:
+                    continue
+                if n_tok_min is not None and rec["max_n_tok"] < n_tok_min:
+                    continue
+                if n_tok_max is not None and rec["min_n_tok"] > n_tok_max:
+                    continue
+                entries.extend(mf.read_shard(self.path, rec))
         if sources is not None:
             entries = [e for e in entries if e["partition"] in sources]
         if n_tok_min is not None:
@@ -267,10 +299,27 @@ class TokenLakeTable:
         sources: list[str] | None = None,
     ) -> tuple[Snapshot | None, JobMetrics]:
         head = self.log.current()
-        entries = mf.read_manifest(self.path, head.manifest)
+        records = mf.read_manifest_list(self.path, head.manifest)
+        # Exact shard-level prefilter mirroring plan_compaction's
+        # candidate test: a partition can hold a rewrite candidate only
+        # if its smallest file is undersized, its largest oversized, or
+        # it contains unclustered files — all exact aggregates in the
+        # manifest list, so a well-compacted partition's shard is never
+        # even opened (O(touched) planning, not O(all files)).
+        want = set(sources) if sources is not None else None
+        cand_records = [
+            r
+            for r in records
+            if (want is None or r["partition"] in want)
+            and (
+                r["min_file_bytes"] < policy.min_file_bytes
+                or r["max_file_bytes"] > policy.max_file_bytes
+                or r["n_unclustered"] > 0
+            )
+        ]
+        shard_entries = {r["partition"]: mf.read_shard(self.path, r) for r in cand_records}
+        entries = [e for es in shard_entries.values() for e in es]
         plans = plan_compaction(entries, policy)
-        if sources is not None:
-            plans = {p: g for p, g in plans.items() if p in set(sources)}
         if not plans:
             return None, metrics.finish()
 
@@ -378,20 +427,33 @@ class TokenLakeTable:
                 self.spark.conf.set(conf_key, prev)
                 self.spark.conf.set(aqe_key, prev_aqe)
 
-        new_entries = [e for e in entries if e["file_path"] not in rewritten]
         if stale_stat_files:  # resumed units checkpointed before stats existed
             fresh.extend(
                 mf.compute_file_stats(self.spark, self.path, stale_stat_files, curve=curve)
             )
         metrics.files_out = len(fresh)
         metrics.bytes_out = sum(e["file_bytes"] for e in fresh)
-        new_entries.extend(fresh)
-        rel = mf.write_manifest(self.path, new_entries)
+        fresh_by_part: dict[str, list[dict]] = {}
+        for e in fresh:
+            fresh_by_part.setdefault(e["partition"], []).append(e)
+        # only PLANNED partitions get a new shard (kept files + fresh
+        # outputs); every other shard is carried by reference
+        changed = {
+            part: [e for e in shard_entries[part] if e["file_path"] not in rewritten]
+            + fresh_by_part.get(part, [])
+            for part in plans
+        }
+        rel, new_records = mf.update_manifest(self.path, head.manifest, changed)
         snap = self.log.commit(
             rel,
             "compact",
             self._stamp(
-                {**_summary(new_entries), "job_id": job_id, "curve": curve, "strategy": strategy}
+                {
+                    **mf.summary_from_records(new_records),
+                    "job_id": job_id,
+                    "curve": curve,
+                    "strategy": strategy,
+                }
             ),
             expected_parent=head.snapshot_id,
         )
@@ -407,20 +469,33 @@ class TokenLakeTable:
         ``snapshot_id`` — the engine's incremental-discovery primitive
         (reference analog: lookback-window freshness checks,
         ``apps/gold-analytics/app/s3_discovery.py:240-314``). Downstream
-        jobs re-derive ONLY these partitions instead of rescanning."""
-        old = {e["file_path"]: e for e in self.manifest_entries(snapshot_id)}
-        new = {e["file_path"]: e for e in self.manifest_entries()}
+        jobs re-derive ONLY these partitions instead of rescanning.
+
+        Shard-aware: a partition whose manifest shard is carried by
+        reference between the two snapshots (same shard path) is skipped
+        without reading it — the diff costs O(changed partitions)."""
+        old_snap = self.log.get(snapshot_id)
+        new_snap = self.log.current()
+        old_recs = {r["partition"]: r for r in mf.read_manifest_list(self.path, old_snap.manifest)}
+        new_recs = {r["partition"]: r for r in mf.read_manifest_list(self.path, new_snap.manifest)}
         out: dict[str, dict] = {}
-        for path, e in new.items():
-            if path not in old:
-                d = out.setdefault(e["partition"], {"added_files": 0, "removed_files": 0, "row_delta": 0})
-                d["added_files"] += 1
-                d["row_delta"] += e["row_count"]
-        for path, e in old.items():
-            if path not in new:
-                d = out.setdefault(e["partition"], {"added_files": 0, "removed_files": 0, "row_delta": 0})
-                d["removed_files"] += 1
-                d["row_delta"] -= e["row_count"]
+        for part in sorted(set(old_recs) | set(new_recs)):
+            o, n = old_recs.get(part), new_recs.get(part)
+            if o is not None and n is not None and o.get("path") is not None and o["path"] == n.get("path"):
+                continue  # same immutable shard → byte-identical partition
+            old_files = {e["file_path"]: e for e in (mf.read_shard(self.path, o) if o else [])}
+            new_files = {e["file_path"]: e for e in (mf.read_shard(self.path, n) if n else [])}
+            d = {"added_files": 0, "removed_files": 0, "row_delta": 0}
+            for path, e in new_files.items():
+                if path not in old_files:
+                    d["added_files"] += 1
+                    d["row_delta"] += e["row_count"]
+            for path, e in old_files.items():
+                if path not in new_files:
+                    d["removed_files"] += 1
+                    d["row_delta"] -= e["row_count"]
+            if d["added_files"] or d["removed_files"]:
+                out[part] = d
         return out
 
     # ---------------------------------------------- maintenance: expiry

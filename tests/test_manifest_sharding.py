@@ -1,0 +1,182 @@
+"""Sharded manifests + manifest list (Iceberg-style metadata layout).
+
+The O(all-files)-per-commit monolith is gone: commits write new shards
+ONLY for touched partitions and carry the rest by reference in a small
+JSON list (one record per partition, exact aggregates). These tests pin
+the carry-by-reference behavior, GC reachability through the list, and
+the legacy monolithic-manifest read/convert path.
+"""
+
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from hoopstat_haus_spark.lakehouse import CompactionPolicy, TokenLakeTable
+from hoopstat_haus_spark.lakehouse import manifest as mf
+from hoopstat_haus_spark.lakehouse.merge import merge_into
+from hoopstat_haus_spark.tables import synthetic, token_sig
+
+POL = CompactionPolicy(min_file_bytes=1 << 20, target_file_bytes=4 << 20, max_file_bytes=8 << 20)
+
+
+def _records(t):
+    return {r["partition"]: r for r in mf.read_manifest_list(t.path, t.log.current().manifest)}
+
+
+def _sig(t, **kw):
+    return sorted(tuple(r) for r in t.scan(**kw).select("doc_id", token_sig("tokens").alias("s")).collect())
+
+
+def test_merge_rewrites_only_touched_partition_shard(spark, tmp_table_dir):
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 5000), repartition_n=4)
+    before = _records(t)
+    assert len(before) >= 3
+    target = sorted(before)[0]
+    pre = _sig(t)
+    ups = (
+        t.scan(sources=[target])
+        .limit(50)
+        .select(
+            "doc_id",
+            F.expr("transform(tokens, x -> cast(x + 1 as int))").alias("tokens"),
+            "n_tok",
+            "source",
+        )
+    )
+    merge_into(t, ups)
+    after = _records(t)
+    assert set(after) == set(before)
+    for part in before:
+        if part == target:
+            assert after[part]["path"] != before[part]["path"], "touched shard must be rewritten"
+        else:
+            assert after[part]["path"] == before[part]["path"], f"untouched shard {part} rewritten"
+    # the commit summary's row count comes from list aggregates and must
+    # match reality
+    assert t.log.current().summary["rows"] == len(pre)
+
+
+def test_append_carries_untouched_shards(spark, tmp_table_dir):
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 4000), repartition_n=4)
+    before = _records(t)
+    target = sorted(before)[-1]
+    batch = (
+        synthetic(spark, 4100)
+        .filter("cast(substr(doc_id, 5) as long) >= 4000")
+        .withColumn("source", F.lit(target))
+    )
+    t.append(batch, repartition_n=1)
+    after = _records(t)
+    for part in before:
+        if part == target:
+            assert after[part]["path"] != before[part]["path"]
+            assert after[part]["n_files"] == before[part]["n_files"] + 1
+        else:
+            assert after[part]["path"] == before[part]["path"]
+    assert t.scan(sources=[target]).count() == before[target]["row_count"] + 100
+
+
+def test_targeted_compact_carries_other_shards(spark, tmp_table_dir):
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 6000), repartition_n=6)
+    before = _records(t)
+    target = sorted(before)[0]
+    snap, _ = t.compact(POL, sources=[target])
+    assert snap is not None
+    after = _records(t)
+    assert after[target]["path"] != before[target]["path"]
+    assert after[target]["n_unclustered"] == 0
+    for part in before:
+        if part != target:
+            assert after[part]["path"] == before[part]["path"]
+
+
+def test_gc_walks_manifest_list_and_keeps_carried_shards(spark, tmp_table_dir):
+    """After compact-all then merge-one-partition + expiry: shards the
+    HEAD list carries by reference must survive GC even though the list
+    that first wrote them is expired; unreachable old shards and lists
+    are removed; data remains intact."""
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 5000), repartition_n=4)
+    t.compact(POL)
+    compacted_records = _records(t)
+    pre = _sig(t)
+
+    target = sorted(compacted_records)[0]
+    ups = (
+        t.scan(sources=[target])
+        .limit(20)
+        .select(
+            "doc_id",
+            F.expr("transform(tokens, x -> cast(x + 0 as int))").alias("tokens"),
+            "n_tok",
+            "source",
+        )
+    )
+    merge_into(t, ups)
+    head_rel = t.log.current().manifest
+    live_meta = set(mf.manifest_files(t.path, head_rel))
+    carried = {
+        compacted_records[p]["path"] for p in compacted_records if p != target
+    }
+    assert carried <= live_meta, "merge must carry untouched compacted shards by reference"
+
+    t.expire_snapshots(keep_last=1)
+    report = t.collect_garbage(min_age_s=0.0)
+    removed = set(report["removed_manifests"])
+    assert removed, "expired snapshots' metadata should be collected"
+    assert not (removed & live_meta), "GC removed metadata the head still reaches"
+    for rel in live_meta:
+        assert os.path.exists(os.path.join(t.path, rel))
+    assert _sig(t) == pre
+
+
+def test_legacy_monolithic_manifest_reads_and_converts(spark, tmp_table_dir):
+    """A pre-sharding snapshot (single manifest parquet) must stay
+    readable — scan, pinned scan, manifest_entries — and the first
+    commit on top converts every partition to a real shard."""
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 5000), repartition_n=4)
+    entries = t.manifest_entries()
+    pre = _sig(t)
+    rel = f"_manifests/manifest-{uuid.uuid4().hex[:12]}.parquet"
+    cols = {name: [e.get(name) for e in entries] for name, _ in mf._MANIFEST_FIELDS}
+    pq.write_table(
+        pa.Table.from_pydict(cols, schema=mf.MANIFEST_ARROW_SCHEMA),
+        os.path.join(t.path, rel),
+    )
+    legacy_snap = t.log.commit(rel, "legacy", {"schema_version": 1})
+    assert not mf.is_manifest_list(t.log.current().manifest)
+    assert _sig(t) == pre
+    assert len(t.manifest_entries()) == len(entries)
+
+    # targeted compact: planned partition gets fresh shards, every OTHER
+    # legacy partition converts to a real shard on this commit
+    target = sorted({e["partition"] for e in entries})[0]
+    snap, _ = t.compact(POL, sources=[target])
+    assert snap is not None
+    assert mf.is_manifest_list(t.log.current().manifest)
+    after = _records(t)
+    assert set(after) == {e["partition"] for e in entries}
+    assert all(r["path"] is not None for r in after.values())
+    assert _sig(t) == pre
+    # pinned read of the legacy snapshot still works
+    assert _sig(t, snapshot_id=legacy_snap.snapshot_id) == pre
+
+
+def test_scan_prunes_at_shard_level(spark, tmp_table_dir):
+    """Source- and n_tok-filtered scans must agree with post-hoc filters
+    (the shard-level pruning is an optimization, never a semantics
+    change)."""
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 4000), repartition_n=4)
+    parts = sorted(_records(t))
+    full = t.scan().collect()
+    one = t.scan(sources=[parts[0]]).collect()
+    assert sorted(r["doc_id"] for r in one) == sorted(
+        r["doc_id"] for r in full if r["source"] == parts[0]
+    )
+    lo, hi = 100, 140
+    rng = t.scan(n_tok_min=lo, n_tok_max=hi).collect()
+    assert sorted(r["doc_id"] for r in rng) == sorted(
+        r["doc_id"] for r in full if lo <= r["n_tok"] <= hi
+    )
