@@ -8,7 +8,9 @@ Ship as:
         --table /data/tokens --target-mb 128 --curve zorder --job-id nightly-42
 
 Subcommands:
-    compact   bin-pack + Z-order/Hilbert rewrite (resumable via --job-id)
+    compact   bin-pack + Z-order/Hilbert rewrite (resumable via --job-id;
+              --since-snapshot N compacts only partitions changed since
+              that snapshot, --sources a,b restricts to named partitions)
     merge     MERGE INTO from an updates parquet path
     expire    snapshot expiry + reachability GC
     evolve    add columns to the table schema (metadata-only)
@@ -52,6 +54,19 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--strategy", choices=["sort", "binpack"], default="sort")
     c.add_argument("--job-id", default=None, help="reuse to resume a crashed run")
     c.add_argument("--concurrent-units", type=int, default=4)
+    c.add_argument(
+        "--since-snapshot",
+        type=int,
+        default=None,
+        help="incremental: compact ONLY partitions whose file set changed "
+        "since this snapshot id (snapshot-diff discovery; reference analog "
+        "process_incremental)",
+    )
+    c.add_argument(
+        "--sources",
+        default=None,
+        help="comma-separated partition list to restrict the run to",
+    )
 
     m = sub.add_parser("merge")
     m.add_argument("--table", required=True)
@@ -120,15 +135,40 @@ def _dispatch(args, spark) -> dict:
             target_file_bytes=args.target_mb << 20,
             max_file_bytes=(args.target_mb * 2) << 20,
         )
+        sources = args.sources.split(",") if args.sources else None
+        since = args.since_snapshot
+        if since is not None:
+            # incremental discovery (M8/M9): snapshot-diff names the
+            # partitions with new/removed files; only those become
+            # compaction units. The pruned unit list ships in the job's
+            # JSON record so operators can audit what was skipped.
+            changed = table.changed_partitions_since(since)
+            inc = sorted(changed)
+            if sources is not None:
+                inc = [p for p in inc if p in set(sources)]
+            if not inc:
+                return {
+                    "snapshot": None,
+                    "since_snapshot": since,
+                    "changed_partitions": [],
+                    "skipped": "no partitions changed since snapshot",
+                }
+            sources = inc
         snap, metrics = table.compact(
             policy,
             curve=args.curve,
             strategy=args.strategy,
             job_id=args.job_id,
             max_concurrent_units=args.concurrent_units,
+            sources=sources,
         )
         out = metrics.to_dict()
         out["snapshot"] = snap.snapshot_id if snap else None
+        if since is not None:
+            out["since_snapshot"] = since
+            out["changed_partitions"] = sources
+        elif sources is not None:
+            out["sources"] = sources
         return out
     if args.cmd == "merge":
         from hoopstat_haus_spark.lakehouse.merge import merge_into

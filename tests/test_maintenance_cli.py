@@ -1,0 +1,96 @@
+"""CLI-level tests for jobs/maintenance_job.py — in particular the
+incremental path: `compact --since-snapshot N` must compact ONLY the
+partitions whose file set changed since that snapshot (snapshot-diff
+discovery wired to the sources filter) and record the pruned unit list
+in its JSON output."""
+
+import json
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+from hoopstat_haus_spark.lakehouse import CompactionPolicy, TokenLakeTable
+from hoopstat_haus_spark.lakehouse import manifest as mf
+from hoopstat_haus_spark.tables import synthetic
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"))
+import maintenance_job  # noqa: E402
+
+POL = CompactionPolicy(min_file_bytes=1 << 20, target_file_bytes=4 << 20, max_file_bytes=8 << 20)
+
+
+def _run(capsys, *argv) -> dict:
+    rc = maintenance_job.main(list(argv))
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(out)
+
+
+def test_compact_since_snapshot_prunes_units(spark, tmp_table_dir, capsys):
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 5000), repartition_n=4)
+    t.compact(POL)
+    baseline = t.log.current_id()
+    records = {r["partition"]: r for r in mf.read_manifest_list(t.path, t.log.current().manifest)}
+    target = sorted(records)[0]
+
+    # fragment ONE partition with a small append
+    batch = (
+        synthetic(spark, 5100)
+        .filter("cast(substr(doc_id, 5) as long) >= 5000")
+        .withColumn("source", F.lit(target))
+    )
+    t.append(batch, repartition_n=2)
+
+    out = _run(
+        capsys,
+        "compact",
+        "--table",
+        t.path,
+        "--target-mb",
+        "4",
+        "--since-snapshot",
+        str(baseline),
+    )
+    assert out["changed_partitions"] == [target]
+    assert out["since_snapshot"] == baseline
+    assert out["snapshot"] is not None
+    # only the changed partition's shard was rewritten by this compact
+    after = {r["partition"]: r for r in mf.read_manifest_list(t.path, t.log.current().manifest)}
+    for part in records:
+        if part != target:
+            assert after[part]["path"] == records[part]["path"]
+
+
+def test_compact_since_snapshot_noop_when_unchanged(spark, tmp_table_dir, capsys):
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 3000), repartition_n=4)
+    t.compact(POL)
+    head = t.log.current_id()
+    out = _run(
+        capsys,
+        "compact",
+        "--table",
+        t.path,
+        "--target-mb",
+        "4",
+        "--since-snapshot",
+        str(head),
+    )
+    assert out["snapshot"] is None
+    assert out["changed_partitions"] == []
+    assert t.log.current_id() == head
+
+
+def test_compact_sources_flag(spark, tmp_table_dir, capsys):
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 4000), repartition_n=4)
+    records = {r["partition"]: r for r in mf.read_manifest_list(t.path, t.log.current().manifest)}
+    target = sorted(records)[-1]
+    out = _run(
+        capsys, "compact", "--table", t.path, "--target-mb", "4", "--sources", target
+    )
+    assert out["sources"] == [target]
+    after = {r["partition"]: r for r in mf.read_manifest_list(t.path, t.log.current().manifest)}
+    assert after[target]["path"] != records[target]["path"]
+    for part in records:
+        if part != target:
+            assert after[part]["path"] == records[part]["path"]
