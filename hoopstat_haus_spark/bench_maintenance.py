@@ -78,6 +78,18 @@ def main() -> None:
     from hoopstat_haus_spark.tables import synthetic
 
     spark = get_spark(app_name=f"bench-maint-{args.cpus}", cpus=args.cpus, extra_conf=extra)
+    if os.environ.get("SPARK_GRAFT_MASTER", "").startswith("spark://"):
+        # standalone executors register asynchronously; sizing heuristics
+        # (defaultParallelism) and the first timed sample must not run
+        # against a half-registered cluster
+        want = 1 + int(os.environ.get("SPARK_GRAFT_EXECUTORS", "2"))
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() >= want:
+                break
+            time.sleep(0.5)
+        else:
+            raise RuntimeError(f"standalone executors failed to register (want {want - 1})")
     policy = CompactionPolicy(
         min_file_bytes=(args.target_mb // 2) << 20,
         target_file_bytes=args.target_mb << 20,

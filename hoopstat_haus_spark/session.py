@@ -30,9 +30,21 @@ def get_spark(
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
 
+    # SPARK_GRAFT_MASTER=spark://host:7077 targets a standalone cluster
+    # (used by jobs/standalone_scaling.py for multi-JVM scaling
+    # evidence): ``cpus`` then becomes the TOTAL core cap and executors
+    # split it across workers (2 executors by default).
+    master = os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
+    builder = SparkSession.builder.master(master).appName(app_name)
+    if not master.startswith("local"):
+        exec_cores = max(1, cpus // int(os.environ.get("SPARK_GRAFT_EXECUTORS", "2")))
+        builder = (
+            builder.config("spark.cores.max", str(cpus))
+            .config("spark.executor.cores", str(exec_cores))
+            .config("spark.executor.memory", os.environ.get("SPARK_EXECUTOR_MEMORY", "8g"))
+        )
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app_name)
+        builder
         # AQE: runtime coalesce of shuffle partitions + skew-join split —
         # the engine's answer to hot `source` partitions at 100 TB.
         .config("spark.sql.adaptive.enabled", "true")

@@ -210,15 +210,20 @@ def _dispatch(args, spark) -> dict:
 
         return health_report(table.path, lookback_jobs=args.lookback_jobs)
     if args.cmd == "stats":
+        from hoopstat_haus_spark.lakehouse import manifest as mf
+
         snap = table.log.current()
-        entries = table.manifest_entries()
-        per_part: dict[str, dict] = {}
-        for en in entries:
-            d = per_part.setdefault(en["partition"], {"files": 0, "rows": 0, "bytes": 0, "tokens": 0})
-            d["files"] += 1
-            d["rows"] += en["row_count"]
-            d["bytes"] += en["file_bytes"]
-            d["tokens"] += en["token_count"]
+        # per-partition rollup straight from the manifest LIST records —
+        # O(partitions) metadata, no shard parquet is opened
+        per_part = {
+            r["partition"]: {
+                "files": r["n_files"],
+                "rows": r["row_count"],
+                "bytes": r["file_bytes"],
+                "tokens": r["token_count"],
+            }
+            for r in (mf.read_manifest_list(table.path, snap.manifest) if snap else [])
+        }
         return {
             "snapshot": snap.snapshot_id if snap else None,
             "operation": snap.operation if snap else None,
