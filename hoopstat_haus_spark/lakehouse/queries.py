@@ -86,14 +86,18 @@ _ROLLUP_SQL = """
 def compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full cycle: fragmented create → bin-pack + space-filling-curve
     rewrite → snapshot → post-maintenance scan rollup (SURVEY.md §7.3
-    step 5). BOTH curves run: the lexicographically-first partition
-    compacts on the Hilbert curve (Arrow kernel path), the rest on the
-    default pure-JVM Morton — the oracle checks logical state, which
-    must be identical regardless of physical layout, so this drives the
-    Hilbert executor through the same value-checked gate."""
+    step 5). BOTH curves run: the SMALLEST partition (deterministic:
+    fewest bytes, name tie-break) compacts on the Hilbert curve (Arrow
+    kernel path), the rest on the default pure-JVM Morton — the oracle
+    checks logical state, which must be identical regardless of
+    physical layout, so this drives the Hilbert executor through the
+    same value-checked gate at minimal kernel cost."""
+    from hoopstat_haus_spark.lakehouse import manifest as mf
+
     t = TokenLakeTable.create(spark, _scratch("compact"), from_documents(spark, sf_dir), repartition_n=8)
-    first = min(e["partition"] for e in t.manifest_entries())
-    t.compact(TEST_POLICY, curve="hilbert", sources=[first])
+    records = mf.read_manifest_list(t.path, t.log.current().manifest)
+    smallest = min(records, key=lambda r: (r["file_bytes"], r["partition"]))["partition"]
+    t.compact(TEST_POLICY, curve="hilbert", sources=[smallest])
     t.compact(TEST_POLICY)
     return rollup(t.scan())
 
