@@ -1,0 +1,113 @@
+"""Gold-artifact publisher: registry query results → static JSON + index.
+
+Reference ancestor: the gold-analytics artifact writer
+(``apps/gold-analytics/app/json_artifacts.py:79-145``: per-entity JSON
+documents capped at 100 KB) and the ADR-024 catalog
+(``index/latest.json`` listing every dataset; < 50 ms discovery).
+
+Design:
+
+- Each published query becomes ``<root>/<query>/latest/<page>.json``,
+  newline-JSON records in the query's own deterministic ORDER BY, paged
+  so no artifact exceeds the byte cap (the reference's Lambda-memory
+  and client-fetch bound; a serving CDN caches small immutable objects
+  well).
+- ``index/latest.json`` lists every artifact {resource_uri, rows,
+  bytes} plus per-query row totals and the publish timestamp. It is
+  written ATOMICALLY LAST via os.replace — a reader always sees either
+  the complete new catalog or the previous one, the same
+  commit-ordering rule as the lakehouse snapshot pointer.
+- Collecting results to the driver is correct here BY DESIGN: gold
+  artifacts are pre-aggregated rollups/leaderboards (KB-scale); the
+  100 TB work happened upstream in the queries that produced them.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import SparkSession
+
+MAX_ARTIFACT_BYTES = 100 * 1024
+
+# rollup/leaderboard-shaped gates: small, stable, useful to serve
+DEFAULT_GOLD_QUERIES = [
+    "agg_pricing_summary",
+    "agg_events_by_type",
+    "win_part_leaderboard",
+    "join_revenue_by_nation",
+    "text_source_quality_rollup",
+    "q_quality_score",
+]
+
+
+def _pages(lines: list[str], cap: int) -> list[list[str]]:
+    pages: list[list[str]] = [[]]
+    size = 0
+    for line in lines:
+        n = len(line.encode()) + 1
+        if pages[-1] and size + n > cap:
+            pages.append([])
+            size = 0
+        pages[-1].append(line)
+        size += n
+    return pages
+
+
+def publish_gold_artifacts(
+    spark: SparkSession,
+    sf_dir: str,
+    out_root: str,
+    query_names: list[str] | None = None,
+    max_artifact_bytes: int = MAX_ARTIFACT_BYTES,
+) -> dict:
+    """Materialize the named registry queries as static artifacts under
+    ``out_root``; returns the index document (also written to
+    ``index/latest.json``)."""
+    from hoopstat_haus_spark import registry
+
+    queries = registry.all_queries()
+    names = query_names or DEFAULT_GOLD_QUERIES
+    unknown = [n for n in names if n not in queries]
+    if unknown:
+        raise KeyError(f"unknown registry queries: {unknown}")
+
+    artifacts = []
+    datasets = {}
+    for name in names:
+        df = queries[name](spark, sf_dir)
+        # toJSON serializes JVM-side; only the (small, pre-aggregated)
+        # result strings cross to the driver
+        lines = df.toJSON().collect()
+        qdir = os.path.join(out_root, name, "latest")
+        os.makedirs(qdir, exist_ok=True)
+        pages = _pages(lines, max_artifact_bytes)
+        page_records = []
+        for i, page in enumerate(pages):
+            rel = f"{name}/latest/{i:04d}.json"
+            path = os.path.join(out_root, rel)
+            body = "\n".join(page) + ("\n" if page else "")
+            with open(path + ".tmp", "w") as f:
+                f.write(body)
+            os.replace(path + ".tmp", path)
+            page_records.append(
+                {"resource_uri": rel[: -len(".json")], "rows": len(page), "bytes": len(body.encode())}
+            )
+        artifacts.extend(page_records)
+        datasets[name] = {"rows": len(lines), "pages": len(pages)}
+
+    index = {
+        "format_version": 1,
+        "published_at_ms": int(time.time() * 1000),
+        "sf_dir": sf_dir,
+        "datasets": datasets,
+        "artifacts": artifacts,
+    }
+    os.makedirs(os.path.join(out_root, "index"), exist_ok=True)
+    tmp = os.path.join(out_root, "index", "latest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(index, f, indent=1)
+    os.replace(tmp, os.path.join(out_root, "index", "latest.json"))
+    return index

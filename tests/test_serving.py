@@ -1,0 +1,128 @@
+"""Serving layer: gold-artifact publisher + local proxy + MCP adapter.
+
+Reference parity targets: artifact ≤100 KB paging + index catalog
+(gold-analytics json_artifacts + ADR-024, incl. its < 50 ms discovery
+criterion), URI→GET client with non-crashing errors (mcp-local-proxy
+http_client), and the two-tool MCP surface (server.py)."""
+
+import json
+import time
+
+import pytest
+
+from hoopstat_haus_spark.serving import (
+    ArtifactClient,
+    ArtifactError,
+    publish_gold_artifacts,
+    serve_artifacts,
+)
+from hoopstat_haus_spark.serving.mcp_stdio import handle_request
+
+SF = "/root/testdata/sf0.001"
+GOLD = ["agg_pricing_summary", "join_revenue_by_nation"]
+
+
+@pytest.fixture(scope="module")
+def gold_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("gold"))
+    publish_gold_artifacts(spark, SF, root, GOLD)
+    return root
+
+
+def test_publish_index_and_artifact_values(spark, gold_root):
+    client = ArtifactClient(gold_root)
+    index = json.loads(client.fetch_index())
+    assert set(index["datasets"]) == set(GOLD)
+    assert all(a["bytes"] <= 100 * 1024 for a in index["artifacts"])
+    # served rows must equal the live query result, row for row
+    from hoopstat_haus_spark import registry
+
+    body = client.fetch_artifact("agg_pricing_summary/latest/0000")
+    served = [json.loads(x) for x in body.strip().splitlines()]
+    live = [
+        json.loads(x)
+        for x in registry.all_queries()["agg_pricing_summary"](spark, SF).toJSON().collect()
+    ]
+    assert served == live
+    assert index["datasets"]["agg_pricing_summary"]["rows"] == len(live)
+
+
+def test_paging_respects_byte_cap(spark, tmp_path):
+    root = str(tmp_path / "paged")
+    index = publish_gold_artifacts(spark, SF, root, GOLD, max_artifact_bytes=256)
+    assert index["datasets"]["agg_pricing_summary"]["pages"] > 1
+    client = ArtifactClient(root)
+    # pages concatenate back to the full result, order preserved
+    rows = []
+    for a in index["artifacts"]:
+        if a["resource_uri"].startswith("agg_pricing_summary/"):
+            assert a["bytes"] <= 256 or a["rows"] == 1  # one giant row may exceed
+            rows.extend(json.loads(x) for x in client.fetch_artifact(a["resource_uri"]).strip().splitlines())
+    from hoopstat_haus_spark import registry
+
+    live = [
+        json.loads(x)
+        for x in registry.all_queries()["agg_pricing_summary"](spark, SF).toJSON().collect()
+    ]
+    assert rows == live
+
+
+def test_file_client_errors(gold_root):
+    client = ArtifactClient(gold_root)
+    with pytest.raises(ArtifactError) as ei:
+        client.fetch_artifact("no_such/latest/0000")
+    assert ei.value.status_code == 404
+    with pytest.raises(ArtifactError) as ei:
+        client.fetch_artifact("../../etc/passwd")
+    assert ei.value.status_code == 400
+
+
+def test_http_serving_and_catalog_latency(gold_root):
+    srv, url = serve_artifacts(gold_root)
+    try:
+        client = ArtifactClient(url)
+        index = json.loads(client.fetch_index())
+        assert set(index["datasets"]) == set(GOLD)
+        body = client.fetch_artifact("join_revenue_by_nation/latest/0000")
+        assert body.strip()
+        with pytest.raises(ArtifactError) as ei:
+            client.fetch_artifact("missing/latest/0000")
+        assert ei.value.status_code == 404
+        # ADR-024 success criterion: catalog discovery < 50 ms
+        lat = []
+        for _ in range(20):
+            t0 = time.perf_counter()
+            client.fetch_index()
+            lat.append(time.perf_counter() - t0)
+        assert sorted(lat)[len(lat) // 2] < 0.050, f"median catalog fetch {sorted(lat)[10]:.3f}s"
+    finally:
+        srv.shutdown()
+
+
+def test_mcp_stdio_tools(gold_root):
+    client = ArtifactClient(gold_root)
+    init = handle_request({"jsonrpc": "2.0", "id": 1, "method": "initialize", "params": {}}, client)
+    assert init["id"] == 1 and init["result"]["serverInfo"]["name"]
+    # notifications get no response
+    assert handle_request({"jsonrpc": "2.0", "method": "notifications/initialized"}, client) is None
+    tools = handle_request({"jsonrpc": "2.0", "id": 2, "method": "tools/list"}, client)
+    assert {t["name"] for t in tools["result"]["tools"]} == {"get_index", "get_artifact"}
+    call = handle_request(
+        {"jsonrpc": "2.0", "id": 3, "method": "tools/call", "params": {"name": "get_index", "arguments": {}}},
+        client,
+    )
+    index = json.loads(call["result"]["content"][0]["text"])
+    assert set(index["datasets"]) == set(GOLD)
+    # a 404 must come back as isError content, never an exception
+    bad = handle_request(
+        {
+            "jsonrpc": "2.0",
+            "id": 4,
+            "method": "tools/call",
+            "params": {"name": "get_artifact", "arguments": {"resource_uri": "nope/latest/0000"}},
+        },
+        client,
+    )
+    assert bad["result"]["isError"] and "Error" in bad["result"]["content"][0]["text"]
+    unknown = handle_request({"jsonrpc": "2.0", "id": 5, "method": "bogus"}, client)
+    assert unknown["error"]["code"] == -32601
