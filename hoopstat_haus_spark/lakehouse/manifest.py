@@ -143,6 +143,11 @@ _MANIFEST_FIELDS = [
     ("zq_curve", pa.string()),
 ]
 MANIFEST_ARROW_SCHEMA = pa.schema(_MANIFEST_FIELDS)
+MANIFEST_DDL = (
+    "file_path string, partition string, row_count long, token_count long, "
+    "min_doc_id string, max_doc_id string, min_n_tok int, max_n_tok int, "
+    "zmin long, zmax long, file_bytes long, zq array<long>, zq_curve string"
+)
 
 
 # --------------------------------------------------------------- shards
@@ -309,5 +314,7 @@ def manifest_df(spark: SparkSession, table_path: str, rel_path: str) -> DataFram
             for r in read_manifest_list(table_path, rel_path)
             if r.get("path")
         ]
+        if not paths:  # empty table: 0 shards
+            return spark.createDataFrame([], schema=MANIFEST_DDL)
         return spark.read.parquet(*paths)
     return spark.read.parquet(os.path.join(table_path, rel_path))
