@@ -180,3 +180,15 @@ def test_scan_prunes_at_shard_level(spark, tmp_table_dir):
     assert sorted(r["doc_id"] for r in rng) == sorted(
         r["doc_id"] for r in full if lo <= r["n_tok"] <= hi
     )
+
+
+def test_scan_physically_reads_only_pruned_files(spark, tmp_table_dir):
+    """Shard-level pruning must reach the PHYSICAL plan: a
+    source-filtered scan's input file list contains only that
+    partition's files (not merely a post-hoc filter over everything)."""
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 3000), repartition_n=4)
+    parts = sorted(_records(t))
+    files = t.scan(sources=[parts[0]]).inputFiles()
+    assert files and all(f"source={parts[0]}/" in f for f in files), files[:3]
+    rng = t.scan(n_tok_min=4000)  # above the generator's n_tok ceiling
+    assert rng.inputFiles() == [] and rng.count() == 0
