@@ -153,3 +153,39 @@ def test_merge_insert_files_sized_to_insert_count(spark, tmp_table_dir):
     n_sources = news.select("source").distinct().count()
     # sized from 3 inserts → 1 shuffle partition → ≤ one file per source
     assert 1 <= len(ins_files) <= n_sources, [e["file_path"] for e in ins_files]
+
+
+def test_lost_race_orphan_shards_are_gc_able(spark, tmp_table_dir):
+    """A writer that loses the optimistic-concurrency race has already
+    written its new manifest shards + list (update_manifest runs before
+    commit). Those orphans must (a) not corrupt the winner's chain and
+    (b) be collected by GC once aged, while every shard the winner's
+    list references survives."""
+    import os
+
+    from hoopstat_haus_spark.lakehouse import manifest as mf
+
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 4000), repartition_n=4)
+    head = t.log.current()
+    records = mf.read_manifest_list(t.path, head.manifest)
+    part = records[0]["partition"]
+
+    # loser writes its manifest update (one rewritten shard) but the
+    # winner commits first
+    loser_rel, _ = mf.update_manifest(
+        t.path, head.manifest, {part: mf.read_shard(t.path, records[0])}
+    )
+    snap_w, _ = t.compact(POLICY, job_id="winner")
+    assert snap_w is not None
+    with pytest.raises(ConcurrentCommitError):
+        t.log.commit(loser_rel, "compact", expected_parent=head.snapshot_id)
+
+    pre = sorted(r["doc_id"] for r in t.scan().select("doc_id").collect())
+    t.expire_snapshots(keep_last=1)
+    report = t.collect_garbage(min_age_s=0.0)
+    # the loser's list (and its freshly-written shard) are orphans now
+    assert loser_rel in report["removed_manifests"]
+    live = set(mf.manifest_files(t.path, t.log.current().manifest))
+    for rel in live:
+        assert os.path.exists(os.path.join(t.path, rel))
+    assert sorted(r["doc_id"] for r in t.scan().select("doc_id").collect()) == pre
