@@ -160,6 +160,49 @@ def host_ceilings(n: int) -> tuple[float, float]:
 
 CEILING_NEUTRAL = 0.85
 
+# Absolute host-speed calibration. The ceiling microbenches measure
+# RATIOS, so a UNIFORMLY throttled host (both levels equally slow) still
+# passes every stability/plateau gate and the run can settle early on
+# degraded walls (observed: a quiet-start run throttled mid-phase and
+# recorded 0.761 where the engine's quiet-window band is 0.83-0.95).
+# The fix is an absolute probe: single-process pure-CPU ops/s, compared
+# against the best this host has EVER shown (persisted across runs in
+# BENCH_CALIBRATION.json, monotonically max'd). When the probe reads
+# below CALIBRATION_OK of that best, the run refuses to settle early and
+# samples to its full round budget instead — maximizing the chance that
+# the per-level minima catch a quiet window — and flags host_degraded in
+# the JSON so a reader can weigh the artifact.
+CALIBRATION_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_CALIBRATION.json")
+CALIBRATION_OK = 0.85
+
+
+def _abs_cpu_probe(duration_s: float = 1.0) -> float:
+    """Single-process pure-CPU ops/s — absolute host speed, not a ratio."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    c = ctx.Value("Q", 0)
+    p = ctx.Process(target=_spin, args=(int(duration_s * 1e9), c))
+    p.start()
+    p.join()
+    return c.value / duration_s
+
+
+def _read_calibration() -> float:
+    try:
+        with open(CALIBRATION_PATH) as f:
+            return float(json.load(f)["cpu_ops_per_s"])
+    except (OSError, ValueError, KeyError):
+        return 0.0
+
+
+def _write_calibration(best: float) -> None:
+    try:
+        with open(CALIBRATION_PATH, "w") as f:
+            json.dump({"cpu_ops_per_s": round(best, 1)}, f)
+    except OSError:
+        pass
+
 
 def select_scaling_pair(candidates: tuple[int, ...] = (4, 2, 1)) -> tuple[int, list[dict]]:
     """Pick the largest N whose N→4N pair the HOST itself scales ≥
@@ -318,12 +361,16 @@ def run_maintenance_scaling() -> dict:
     hi_s: list[float] = []
     rounds: list[dict] = []
     gb_in = 0.0
+    calib = _read_calibration()
+    probes: list[float] = []
     t0 = time.time()
     try:
         # warmup pair (JIT + worker spawn on both levels), not a round
         _request(lo_p)
         _request(hi_p)
         for _i in range(MAX_ROUNDS):
+            probes.append(_abs_cpu_probe())
+            calib = max(calib, probes[-1])
             cc1, mc1 = host_ceilings(n)
             hi_a = _request(hi_p)
             lo = _request(lo_p)
@@ -364,6 +411,11 @@ def run_maintenance_scaling() -> dict:
             hi_sorted = sorted(r["hi_s"] for r in rounds)
             lo_plat = len(lo_sorted) >= 2 and lo_sorted[1] <= 1.12 * lo_sorted[0]
             hi_plat = len(hi_sorted) >= 2 and hi_sorted[1] <= 1.12 * hi_sorted[0]
+            # a uniformly throttled host passes every RATIO gate; only
+            # the absolute probe vs the host's known-best speed can veto
+            # an early stop (see CALIBRATION comment above) — the run
+            # then uses its whole budget hunting for a quiet window
+            host_at_speed = probes[-1] >= CALIBRATION_OK * calib
             settled = (
                 len(stable_rounds) >= MIN_ACCEPTED
                 and len(ests) >= 3
@@ -371,6 +423,7 @@ def run_maintenance_scaling() -> dict:
                 and abs(ests[-2] - ests[-3]) <= 0.03
                 and lo_plat
                 and hi_plat
+                and host_at_speed
             )
             if settled or time.time() - t0 > ROUND_BUDGET_S:
                 break
@@ -395,11 +448,16 @@ def run_maintenance_scaling() -> dict:
     pool = sorted(r["raw_efficiency"] for r in stable_rounds)
     mid = len(pool) // 2
     med = pool[mid] if len(pool) % 2 else (pool[mid - 1] + pool[mid]) / 2.0
+    _write_calibration(calib)
     lo_sorted = sorted(r["lo_s"] for r in rounds)
     hi_sorted = sorted(r["hi_s"] for r in rounds)
     return {
         "lo_plateau": len(lo_sorted) >= 2 and lo_sorted[1] <= 1.12 * lo_sorted[0],
         "hi_plateau": len(hi_sorted) >= 2 and hi_sorted[1] <= 1.12 * hi_sorted[0],
+        # absolute host speed during the run vs its known best (cross-run
+        # calibration); a degraded flag means the walls are upper bounds
+        "cpu_probe_ratio": round(max(probes) / calib, 3) if probes and calib else None,
+        "host_degraded": bool(probes and calib and max(probes) < CALIBRATION_OK * calib),
         "docs": SCALING_DOCS,
         "gb_in": gb_in,
         "pair_selection": pair_report,
@@ -428,6 +486,8 @@ def run_maintenance_scaling() -> dict:
 # losing the per-query timings. The printed line MUST stay < 1800 chars
 # (test_bench_line.py pins this).
 _LINE_KEYS = (
+    "host_degraded",
+    "cpu_probe_ratio",
     "docs",
     "gb_in",
     "n_cpus",

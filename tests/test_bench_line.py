@@ -35,6 +35,8 @@ def _maximal_result() -> dict:
         "maintenance": {
             "lo_plateau": True,
             "hi_plateau": True,
+            "cpu_probe_ratio": 0.993,
+            "host_degraded": False,
             "docs": 800000,
             "gb_in": 0.5338,
             "pair_selection": [
@@ -79,6 +81,7 @@ def test_line_fits_driver_tail_window():
     assert len(encoded) < 1800, f"bench line is {len(encoded)} chars; driver tail is ~2000"
     # gate-relevant scalars must survive in the line
     assert line["maintenance"]["scaling_efficiency"] == 0.912
+    assert line["maintenance"]["host_degraded"] is False
     assert line["maintenance"]["throughput"]["gb_per_hour"] == 388.79
     assert len(line["queries"]) == len(bench.HEADLINE)
     assert line["detail"] == "BENCH_DETAIL.json"
