@@ -75,11 +75,17 @@ def run_queries() -> dict[str, float]:
 
     spark.range(0, 2_000_000).agg(F.sum("id")).collect()
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1000).collect()
+    # degraded host → take two samples per query and keep the min (same
+    # calibration rationale as the scaling phase)
+    reps = 1 if _abs_cpu_probe() >= CALIBRATION_OK * _read_calibration() else 2
     out: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        queries[name](spark, SF_DIR).collect()
-        out[name] = round(time.time() - t0, 3)
+        walls = []
+        for _ in range(reps):
+            t0 = time.time()
+            queries[name](spark, SF_DIR).collect()
+            walls.append(round(time.time() - t0, 3))
+        out[name] = min(walls)
     return out
 
 
@@ -266,7 +272,10 @@ def _request(proc: subprocess.Popen) -> dict:
 def run_throughput() -> dict:
     """Maintenance throughput capability: full cycle at
     local[THROUGHPUT_CPUS] on the BENCH_DOCS input, best-of-3 (first
-    iteration doubles as JIT/worker warmup)."""
+    iteration doubles as JIT/worker warmup; best-of-5 when the absolute
+    CPU probe says the host is below its calibrated speed — min over
+    more samples is the only lever against uniform throttle)."""
+    degraded = _abs_cpu_probe() < CALIBRATION_OK * _read_calibration()
     out = subprocess.run(
         [
             sys.executable,
@@ -277,7 +286,7 @@ def run_throughput() -> dict:
             "--docs",
             str(BENCH_DOCS),
             "--iters",
-            "3",
+            "5" if degraded else "3",
         ],
         capture_output=True,
         text=True,
