@@ -99,7 +99,8 @@ class TestSketchBounds:
         t = TokenLakeTable.create(spark, str(tmp_path / "t"), synthetic(spark, 4000), repartition_n=6)
         for e in t.manifest_entries():
             zq = e["zq"]
-            assert zq is not None and len(zq) == mf.ZQ_GRID - 1
+            # sampled sketch: up to GRID-1 points (fewer for small files)
+            assert zq is not None and 1 <= len(zq) <= mf.ZQ_GRID - 1
             assert zq == sorted(zq)
             # unclustered ingest: pruning sentinel untouched
             assert e["zmin"] == -1 and e["zmax"] == -1
