@@ -52,6 +52,28 @@ ZQ_GRID = 32  # per-file zkey quantile sketch resolution (≤31 cut points)
 ZQ_SAMPLE_MOD = 16  # sketch from a deterministic 1/16 doc-hash sample
 
 
+def _zq_grid_expr(zs):
+    """EXECUTOR-side grid truncation of a sorted key-sample array down to
+    ≤ ZQ_GRID−1 quantile points, inside the agg's output projection.
+
+    This bounds each manifest row at ≤31 longs BEFORE collect, so the
+    stats pass's driver traffic is O(files × ZQ_GRID) no matter the file
+    size — a whole-table stats pass at 10^6 files ships ~250 MB of
+    sketch points instead of the O(rows / ZQ_SAMPLE_MOD) raw samples
+    (~100 GB at target scale) the round-4 driver-side truncation
+    collected. Index arithmetic is done in exact-double territory
+    (i·n < 2^53) so the picked points are bit-identical to the former
+    Python ``zs[min(n-1, i*n//ZQ_GRID)]``."""
+    n = F.size(zs).cast("long")
+    picked = F.transform(
+        F.sequence(F.lit(1), F.lit(ZQ_GRID - 1)),
+        lambda i: F.element_at(
+            zs, F.least(n, F.floor(i.cast("long") * n / F.lit(ZQ_GRID)) + F.lit(1)).cast("int")
+        ),
+    )
+    return F.when(F.size(zs) > ZQ_GRID - 1, picked).otherwise(zs)
+
+
 def compute_file_stats(
     spark: SparkSession, table_path: str, rel_paths: list[str], curve: str = "zorder"
 ) -> list[dict]:
@@ -116,8 +138,10 @@ def compute_file_stats(
             F.max("n_tok").alias("max_n_tok"),
             zmin.alias("zmin"),
             zmax.alias("zmax"),
-            F.sort_array(F.collect_list(zsamp)).alias("zs"),
+            F.sort_array(F.collect_list(zsamp)).alias("zs_full"),
         )
+        .select("*", _zq_grid_expr(F.col("zs_full")).alias("zs"))
+        .drop("zs_full")
         .collect()
     )
     # normalize file URIs (file:///...) back to table-relative paths
@@ -139,7 +163,8 @@ def compute_file_stats(
         )
         for r2 in (
             small.groupBy(F.input_file_name().alias("file_uri"))
-            .agg(F.sort_array(F.collect_list(zsrc)).alias("zs"))
+            .agg(F.sort_array(F.collect_list(zsrc)).alias("zs_full"))
+            .select("*", _zq_grid_expr(F.col("zs_full")).alias("zs"))
             .collect()
         ):
             full_zs[to_rel(r2["file_uri"])] = r2["zs"]
@@ -152,10 +177,7 @@ def compute_file_stats(
         d = r.asDict()
         d.pop("file_uri")
         zs = d.pop("zs") or full_zs.get(rel) or []
-        if len(zs) > ZQ_GRID - 1:  # downsample the sorted sample to grid quantiles
-            d["zq"] = [int(zs[min(len(zs) - 1, (i * len(zs)) // ZQ_GRID)]) for i in range(1, ZQ_GRID)]
-        else:
-            d["zq"] = [int(z) for z in zs] or None
+        d["zq"] = [int(z) for z in zs] or None  # already grid-truncated executor-side
         d["file_path"] = rel
         d["file_bytes"] = sizes[rel]
         d["zq_curve"] = zq_curve

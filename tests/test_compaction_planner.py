@@ -105,6 +105,48 @@ class TestSketchBounds:
             # unclustered ingest: pruning sentinel untouched
             assert e["zmin"] == -1 and e["zmax"] == -1
 
+    def test_grid_truncation_is_executor_side_and_bit_identical(self, spark):
+        """Round-5 scale fix: the ≤31-point grid truncation runs INSIDE the
+        agg's output projection (bounded driver traffic: each manifest row
+        ships ≤ ZQ_GRID−1 longs no matter the file size), and must pick
+        bit-identical points to the former driver-side Python
+        ``zs[min(n-1, i*n//ZQ_GRID)]``."""
+        import pyspark.sql.functions as F
+
+        from hoopstat_haus_spark.lakehouse import manifest as mf
+
+        cases = [0, 1, 5, mf.ZQ_GRID - 1, mf.ZQ_GRID, mf.ZQ_GRID + 1, 100, 1000, 17001]
+        arrays = [[i * 7 + (i % 3) for i in range(n)] for n in cases]
+        rows = (
+            spark.createDataFrame([(a,) for a in arrays], "zs array<long>")
+            .select(mf._zq_grid_expr(F.col("zs")).alias("zq"), F.size("zs").alias("n"))
+            .collect()
+        )
+        got = {r["n"]: r["zq"] for r in rows}
+        for a in arrays:
+            n = len(a)
+            if n > mf.ZQ_GRID - 1:
+                want = [a[min(n - 1, (i * n) // mf.ZQ_GRID)] for i in range(1, mf.ZQ_GRID)]
+            else:
+                want = a
+            assert got[n] == want, n
+            assert len(got[n]) <= mf.ZQ_GRID - 1
+
+    def test_stats_agg_row_width_is_bounded(self, spark, tmp_path):
+        """Pin that compute_file_stats never collects a row wider than the
+        grid: every zq list (including the tiny-file second pass) is
+        ≤ ZQ_GRID−1 points even when the file's sample is much larger."""
+        from hoopstat_haus_spark.lakehouse import manifest as mf
+        from hoopstat_haus_spark.lakehouse.table import TokenLakeTable
+        from hoopstat_haus_spark.tables import synthetic
+
+        # one big file: 40k rows → ~2.5k sampled keys ≫ grid
+        t = TokenLakeTable.create(spark, str(tmp_path / "t"), synthetic(spark, 40000), repartition_n=1)
+        stats = mf.compute_file_stats(spark, t.path, [e["file_path"] for e in t.manifest_entries()])
+        assert stats
+        for d in stats:
+            assert d["zq"] is not None and len(d["zq"]) <= mf.ZQ_GRID - 1
+
     def test_sketch_bounds_match_scan_bounds(self, spark, tmp_path):
         """Driver-side merged-sketch boundaries must land close to the
         scan-derived ones: same input, both estimators, each boundary
