@@ -20,9 +20,13 @@ Concurrent-writer safety (Iceberg's orphan-file rules):
   the whole tree (which would destroy a live job's in-flight output).
 
 Scale note: reachable-set construction is driver-side set algebra over
-manifest parquet (metadata, ~1 row per data file). At 10^12-sequence
-scale with ~10^6 files that is still MB-scale; if manifests outgrow the
-driver, the same union/except is one Spark job over manifest DataFrames.
+manifest metadata (~1 row per data file), deduped at SHARD level —
+shards are immutable and carried by reference across snapshots, so K
+retained snapshots over P partitions cost O(distinct shard paths)
+parquet opens (≈ P + touched), never O(K × P); expired-only shards are
+never opened. At ~10^6 files the resulting path set is ~100 MB of
+strings; if manifests outgrow the driver, the same union/except is one
+Spark job over manifest DataFrames.
 """
 
 from __future__ import annotations
@@ -67,14 +71,28 @@ def collect_garbage(
     now = time.time()
     reachable_data: set[str] = set()
     reachable_manifests: set[str] = set()
+    # Shard-level diffing: shards are immutable and carried by REFERENCE
+    # across snapshots, so any shard path named by ≥1 retained list is
+    # reachable in toto and its entry set needs reading exactly ONCE —
+    # K retained snapshots over P partitions cost O(distinct shards)
+    # parquet opens (≈ P + touched), never O(K × P). Shards referenced
+    # only by expired snapshots are never opened at all: their data
+    # files are either shared with a retained shard (already reachable)
+    # or garbage the directory walk finds without any manifest help.
+    seen_shards: set[str] = set()
     for sid in log.list_ids():
         snap = log.get(sid)
-        # a list manifest reaches itself AND its shard parquets; shards
-        # carried by reference across snapshots stay reachable as long
-        # as ANY retained list names them
-        reachable_manifests.update(mf.manifest_files(table_path, snap.manifest))
-        for e in mf.read_manifest(table_path, snap.manifest):
-            reachable_data.add(e["file_path"])
+        reachable_manifests.add(snap.manifest)
+        for rec in mf.read_manifest_list(table_path, snap.manifest):
+            path = rec.get("path")
+            if path is not None:
+                reachable_manifests.add(path)
+                if path in seen_shards:
+                    continue
+                seen_shards.add(path)
+            # legacy monolith records carry entries inline (path None)
+            for e in mf.read_shard(table_path, rec):
+                reachable_data.add(e["file_path"])
     reachable_data |= _checkpoint_protected(table_path)
 
     def young(path: str) -> bool:

@@ -269,8 +269,13 @@ def _write_list(table_path: str, records: list[dict]) -> str:
     os.makedirs(os.path.join(table_path, "_manifests"), exist_ok=True)
     rel = f"_manifests/list-{uuid.uuid4().hex[:12]}.json"
     body = {"format_version": 2, "shards": sorted(records, key=lambda r: r["partition"])}
-    with open(os.path.join(table_path, rel), "w") as f:
+    # tmp + rename: a crash mid-write must not leave a truncated JSON a
+    # future resume path could try to parse (same atomic-metadata-write
+    # convention as the snapshot pointer and the serving artifact index)
+    abs_path = os.path.join(table_path, rel)
+    with open(abs_path + ".tmp", "w") as f:
         json.dump(body, f, indent=1)
+    os.replace(abs_path + ".tmp", abs_path)
     return rel
 
 

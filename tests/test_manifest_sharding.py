@@ -132,6 +132,53 @@ def test_gc_walks_manifest_list_and_keeps_carried_shards(spark, tmp_table_dir):
     assert _sig(t) == pre
 
 
+def test_gc_opens_each_distinct_shard_once(spark, tmp_table_dir, monkeypatch):
+    """Round-5 scale fix: reachability dedupes shard reads by path.
+    With K retained snapshots over P partitions, GC must open each
+    distinct shard parquet exactly ONCE (≈ P + touched partitions'
+    rewrites), never K × P — shards carried by reference across
+    snapshots share their whole file set."""
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 5000), repartition_n=4)
+    before = _records(t)
+    target = sorted(before)[0]
+    ups = (
+        t.scan(sources=[target])
+        .limit(20)
+        .select(
+            "doc_id",
+            F.expr("transform(tokens, x -> cast(x + 1 as int))").alias("tokens"),
+            "n_tok",
+            "source",
+        )
+    )
+    merge_into(t, ups)  # 2 snapshots retained: P shared shards + old/new target shard
+
+    opens: list[str] = []
+    real_read_shard = mf.read_shard
+
+    def counting_read_shard(table_path, record):
+        if record.get("path") is not None:
+            opens.append(record["path"])
+        return real_read_shard(table_path, record)
+
+    from hoopstat_haus_spark.lakehouse import gc as gc_mod
+
+    monkeypatch.setattr(gc_mod.mf, "read_shard", counting_read_shard)
+    from hoopstat_haus_spark.lakehouse.gc import collect_garbage
+
+    report = collect_garbage(t.path, dry_run=True, min_age_s=0.0)
+
+    distinct = {
+        rec["path"]
+        for sid in t.log.list_ids()
+        for rec in mf.read_manifest_list(t.path, t.log.get(sid).manifest)
+    }
+    assert sorted(opens) == sorted(distinct), "each distinct shard must be opened exactly once"
+    # 1-of-P merge: P carried + 1 rewritten shard — NOT 2 snapshots × P
+    assert len(opens) == len(before) + 1
+    assert not report["removed_data_files"], "all data reachable"
+
+
 def test_legacy_monolithic_manifest_reads_and_converts(spark, tmp_table_dir):
     """A pre-sharding snapshot (single manifest parquet) must stay
     readable — scan, pinned scan, manifest_entries — and the first
