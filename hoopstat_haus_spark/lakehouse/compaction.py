@@ -219,6 +219,7 @@ def plan_unit_bounds(
     unit_entries: dict[str, list[dict]],
     unit_n_out: dict[str, int],
     curve: str = "zorder",
+    curve_by_source: dict[str, str] | None = None,
 ) -> dict[str, list[int]]:
     """Range boundaries for EVERY pending unit — from manifest metadata
     when possible, one fused skinny job otherwise.
@@ -237,46 +238,56 @@ def plan_unit_bounds(
     grid driver-side (grid granularity ≥ 4× any realistic n_out, so
     the extra rounding shifts file sizes by ≪ the target/max headroom).
     One scan instead of one per unit.
+
+    ``curve_by_source`` overrides the curve per partition (mixed-curve
+    single-cycle compaction): each unit's sketches are matched against
+    ITS curve, and the scan fallback runs one fused job per distinct
+    curve among the units that need it (≤ number of curves, not units).
     """
     out: dict[str, list[int]] = {}
     scan_units: dict[str, list[dict]] = {}
+    cb = curve_by_source or {}
     for part, entries in unit_entries.items():
         n_out = unit_n_out.get(part, 1)
         if n_out <= 1:
             continue
-        sketched = _bounds_from_sketches(entries, n_out, curve)
+        sketched = _bounds_from_sketches(entries, n_out, cb.get(part, curve))
         if sketched is not None:
             out[part] = sketched
         else:
             scan_units[part] = entries
 
-    all_paths = [p for entries in scan_units.values() for p in _sample_files(entries)]
-    if not all_paths:
-        return out
+    by_curve: dict[str, dict[str, list[dict]]] = {}
+    for part, entries in scan_units.items():
+        by_curve.setdefault(cb.get(part, curve), {})[part] = entries
     data_dir = os.path.join(table_path, "data")
-    skinny = (
-        spark.read.option("basePath", data_dir)
-        .parquet(*[os.path.join(table_path, p) for p in all_paths])
-        .select("source", "doc_id", "n_tok")
-        .filter(F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(_BOUNDS_SAMPLE_MOD)) == 0)
-    )
-    skinny = with_zkey(skinny, curve=curve)
     fracs = [i / _BOUNDS_GRID for i in range(1, _BOUNDS_GRID)]
-    rows = (
-        skinny.groupBy("source")
-        .agg(F.percentile_approx("_zkey", F.array(*[F.lit(f) for f in fracs]), F.lit(5000)).alias("g"))
-        .collect()
-    )
-    grids = {r["source"]: r["g"] for r in rows}
-    for part in scan_units:
-        n_out = unit_n_out[part]
-        grid = grids.get(part)
-        if not grid or n_out > _BOUNDS_GRID // 4:
-            continue  # huge unit: grid too coarse → per-unit estimation
-        out[part] = [
-            int(grid[min(len(grid) - 1, max(0, round(j * _BOUNDS_GRID / n_out) - 1))])
-            for j in range(1, n_out)
-        ]
+    for c, units in by_curve.items():
+        all_paths = [p for entries in units.values() for p in _sample_files(entries)]
+        if not all_paths:
+            continue
+        skinny = (
+            spark.read.option("basePath", data_dir)
+            .parquet(*[os.path.join(table_path, p) for p in all_paths])
+            .select("source", "doc_id", "n_tok")
+            .filter(F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(_BOUNDS_SAMPLE_MOD)) == 0)
+        )
+        skinny = with_zkey(skinny, curve=c)
+        rows = (
+            skinny.groupBy("source")
+            .agg(F.percentile_approx("_zkey", F.array(*[F.lit(f) for f in fracs]), F.lit(5000)).alias("g"))
+            .collect()
+        )
+        grids = {r["source"]: r["g"] for r in rows}
+        for part in units:
+            n_out = unit_n_out[part]
+            grid = grids.get(part)
+            if not grid or n_out > _BOUNDS_GRID // 4:
+                continue  # huge unit: grid too coarse → per-unit estimation
+            out[part] = [
+                int(grid[min(len(grid) - 1, max(0, round(j * _BOUNDS_GRID / n_out) - 1))])
+                for j in range(1, n_out)
+            ]
     return out
 
 

@@ -86,10 +86,11 @@ _ROLLUP_SQL = """
 def compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full cycle: fragmented create → bin-pack + space-filling-curve
     rewrite → snapshot → post-maintenance scan rollup (SURVEY.md §7.3
-    step 5). BOTH curves run: the SMALLEST partition (deterministic:
-    fewest bytes, name tie-break) compacts on the Hilbert curve (Arrow
-    kernel path), the rest on the default pure-JVM Morton — the oracle
-    checks logical state, which must be identical regardless of
+    step 5). BOTH curves run in ONE cycle (``curve_by_source``): the
+    SMALLEST partition (deterministic: fewest bytes, name tie-break)
+    compacts on the Hilbert curve (Arrow kernel path), the rest on the
+    default pure-JVM Morton — one bounds plan, one snapshot commit. The
+    oracle checks logical state, which must be identical regardless of
     physical layout, so this drives the Hilbert executor through the
     same value-checked gate at minimal kernel cost."""
     from hoopstat_haus_spark.lakehouse import manifest as mf
@@ -97,8 +98,7 @@ def compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = TokenLakeTable.create(spark, _scratch("compact"), from_documents(spark, sf_dir), repartition_n=8)
     records = mf.read_manifest_list(t.path, t.log.current().manifest)
     smallest = min(records, key=lambda r: (r["file_bytes"], r["partition"]))["partition"]
-    t.compact(TEST_POLICY, curve="hilbert", sources=[smallest])
-    t.compact(TEST_POLICY)
+    t.compact(TEST_POLICY, curve_by_source={smallest: "hilbert"})
     return rollup(t.scan())
 
 

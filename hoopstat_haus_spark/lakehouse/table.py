@@ -245,13 +245,19 @@ class TokenLakeTable:
         job_id: str | None = None,
         max_concurrent_units: int = 4,
         sources: list[str] | None = None,
+        curve_by_source: dict[str, str] | None = None,
     ) -> tuple[Snapshot | None, JobMetrics]:
         """Full compaction + Z-order cycle; resumable via ``job_id``.
 
         ``sources`` restricts the run to the named partitions (targeted
-        maintenance: incremental compaction of changed partitions, or
-        per-partition curve choice); None compacts every partition the
-        planner flags.
+        maintenance: incremental compaction of changed partitions);
+        None compacts every partition the planner flags.
+
+        ``curve_by_source`` overrides the space-filling curve for the
+        named partitions (everything else uses ``curve``), so a table
+        with per-partition layout choices compacts in ONE cycle — one
+        bounds plan, one stats pass per unit, ONE snapshot commit —
+        instead of one full cycle per curve.
 
         Per-partition units run through the lineage checkpoint: a re-run
         with the same job_id skips finished partitions (their outputs are
@@ -269,7 +275,8 @@ class TokenLakeTable:
         metrics = JobMetrics(job=job_id)
         try:
             return self._compact_run(
-                policy, curve, strategy, job_id, max_concurrent_units, metrics, sources
+                policy, curve, strategy, job_id, max_concurrent_units, metrics, sources,
+                curve_by_source,
             )
         except Exception as exc:
             # crashed maintenance must surface in the health rollup:
@@ -297,7 +304,13 @@ class TokenLakeTable:
         max_concurrent_units: int,
         metrics: JobMetrics,
         sources: list[str] | None = None,
+        curve_by_source: dict[str, str] | None = None,
     ) -> tuple[Snapshot | None, JobMetrics]:
+        cb = curve_by_source or {}
+
+        def unit_curve(part: str) -> str:
+            return cb.get(part, curve)
+
         head = self.log.current()
         records = mf.read_manifest_list(self.path, head.manifest)
         # Exact shard-level prefilter mirroring plan_compaction's
@@ -329,7 +342,7 @@ class TokenLakeTable:
         new_files: list[str] = []
         pending: list[tuple[str, list[dict]]] = []
         fresh: list[dict] = []  # per-file stats, computed inside units
-        stale_stat_files: list[str] = []  # resumed units from pre-stats checkpoints
+        stale_stat_units: list[tuple[str, list[str]]] = []  # resumed pre-stats checkpoints
         for part, groups in plans.items():
             inputs = [f for g in groups for f in g.files]
             rewritten.update(f["file_path"] for f in inputs)
@@ -343,7 +356,7 @@ class TokenLakeTable:
                 if done[part].get("output_stats") is not None:
                     fresh.extend(done[part]["output_stats"])
                 else:
-                    stale_stat_files.extend(done[part]["output_files"])
+                    stale_stat_units.append((part, done[part]["output_files"]))
             else:
                 pending.append((part, inputs))
 
@@ -359,6 +372,7 @@ class TokenLakeTable:
                     for part, inputs in pending
                 },
                 curve=curve,
+                curve_by_source=cb,
             )
 
         def _run_unit(part: str, inputs: list[dict]) -> tuple[list[str], list[dict]]:
@@ -373,7 +387,7 @@ class TokenLakeTable:
                 sum(f["file_bytes"] for f in inputs),
                 policy,
                 job_id,
-                curve=curve,
+                curve=unit_curve(part),
                 strategy=strategy,
                 read_ddl=read_ddl,
                 bounds=unit_bounds.get(part),
@@ -382,7 +396,7 @@ class TokenLakeTable:
             # overlaps other units' rewrites instead of serializing one
             # all-files stats job between the last rewrite and the
             # commit (the serial tail costs 4x in N->4N scaling)
-            stats = mf.compute_file_stats(self.spark, self.path, out, curve=curve)
+            stats = mf.compute_file_stats(self.spark, self.path, out, curve=unit_curve(part))
             ckpt.done(
                 part,
                 in_paths,
@@ -427,10 +441,12 @@ class TokenLakeTable:
                 self.spark.conf.set(conf_key, prev)
                 self.spark.conf.set(aqe_key, prev_aqe)
 
-        if stale_stat_files:  # resumed units checkpointed before stats existed
-            fresh.extend(
-                mf.compute_file_stats(self.spark, self.path, stale_stat_files, curve=curve)
-            )
+        if stale_stat_units:  # resumed units checkpointed before stats existed
+            by_curve: dict[str, list[str]] = {}
+            for part, files in stale_stat_units:
+                by_curve.setdefault(unit_curve(part), []).extend(files)
+            for c, files in sorted(by_curve.items()):
+                fresh.extend(mf.compute_file_stats(self.spark, self.path, files, curve=c))
         metrics.files_out = len(fresh)
         metrics.bytes_out = sum(e["file_bytes"] for e in fresh)
         fresh_by_part: dict[str, list[dict]] = {}
@@ -452,6 +468,7 @@ class TokenLakeTable:
                     **mf.summary_from_records(new_records),
                     "job_id": job_id,
                     "curve": curve,
+                    **({"curve_by_source": cb} if cb else {}),
                     "strategy": strategy,
                 }
             ),

@@ -29,6 +29,31 @@ def test_hilbert_curve_compaction(spark, tmp_table_dir):
             assert b[0] > a[1]  # hilbert keys also range-disjoint per file
 
 
+def test_mixed_curve_single_cycle_compaction(spark, tmp_table_dir):
+    """Round-5: curve_by_source compacts a mixed-layout table in ONE
+    cycle — one snapshot commit, per-partition curve tags, token
+    equality, and file-range disjointness under each curve."""
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 8000), repartition_n=8)
+    pre = sigs(t)
+    pre_snap = t.log.current_id()
+    parts = sorted({e["partition"] for e in t.manifest_entries()})
+    hil = parts[0]
+    snap, m = t.compact(POLICY, curve_by_source={hil: "hilbert"})
+    assert snap is not None and sigs(t) == pre
+    # exactly ONE commit for the whole mixed-curve cycle
+    assert snap.snapshot_id == pre_snap + 1
+    assert snap.summary["curve_by_source"] == {hil: "hilbert"}
+    by_part: dict[str, list] = {}
+    for e in t.manifest_entries():
+        want = "hilbert" if e["partition"] == hil else "zorder"
+        assert e["zq_curve"] == want, (e["partition"], e["zq_curve"])
+        by_part.setdefault(e["partition"], []).append((e["zmin"], e["zmax"]))
+    for ranges in by_part.values():
+        ranges.sort()
+        for a, b in zip(ranges, ranges[1:]):
+            assert b[0] > a[1]  # per-partition disjointness under BOTH curves
+
+
 def test_binpack_strategy_no_sort(spark, tmp_table_dir):
     t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 6000), repartition_n=8)
     pre = sigs(t)
