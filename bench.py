@@ -311,17 +311,19 @@ def run_maintenance_scaling() -> dict:
       ceiling and the raw ratio measures the ENGINE. No normalization
       is applied anywhere; `scaling_efficiency` IS the raw median,
       conservatively capped at 1.0.
-    - Each round runs hi → lo → hi bracketed by host-ceiling
+    - Each round runs lo → hi → lo → hi bracketed by host-ceiling
       measurements; a round is ACCEPTED only if the ceilings are stable
       across it (host didn't shift throttle regimes mid-round —
       unstable rounds' lo and hi walls were measured under different
-      host speeds and their ratio is meaningless). The hi level runs
-      TWICE per round (its wall = the min): hi runs are 4× shorter, so
-      a single hi sample sits entirely inside whatever throttle window
-      it lands in while the long lo run averages across windows; two
-      flanking hi samples per round still give hi only ~half of lo's
-      wall-clock exposure, and min-estimation converges to the same
-      unthrottled capability either way (throttle only ADDS time).
+      host speeds and their ratio is meaningless). BOTH levels run
+      TWICE per round and each level's wall is the min of its two
+      samples — SYMMETRIC min-of-2 (round 5): the round-4 scheme
+      min'd only the hi level (hi runs are 4× shorter, so a single hi
+      sample sits entirely inside a throttle window), but E[min of 2]
+      < E[single] under host noise, which biased every per-round
+      ratio — and therefore the median gate — UPWARD. Taking min-of-2
+      on both levels makes the noise-floor advantage cancel in the
+      ratio while keeping each level's short-window robustness.
     - The gate metric is the CAPABILITY ratio: each level's best wall
       across ALL interleaved rounds, eff = best(lo)/(4·best(hi)).
       Host contention only ever ADDS time (an overcommitted VM steals
@@ -381,20 +383,23 @@ def run_maintenance_scaling() -> dict:
             probes.append(_abs_cpu_probe())
             calib = max(calib, probes[-1])
             cc1, mc1 = host_ceilings(n)
+            lo_a = _request(lo_p)
             hi_a = _request(hi_p)
-            lo = _request(lo_p)
+            lo_b = _request(lo_p)
             hi_b = _request(hi_p)
             cc2, mc2 = host_ceilings(n)
             gb_in = hi_b["gb_in"]
+            lo_wall = min(lo_a["wall"], lo_b["wall"])
             hi_wall = min(hi_a["wall"], hi_b["wall"])
-            lo_s.append(lo["wall"])
+            lo_s.extend([lo_a["wall"], lo_b["wall"]])
             hi_s.extend([hi_a["wall"], hi_b["wall"]])
             ok = stable(cc1, cc2, 0.15) and stable(mc1, mc2, 0.25)
-            raw = lo["wall"] / (4.0 * hi_wall)
+            raw = lo_wall / (4.0 * hi_wall)
             rounds.append(
                 {
-                    "lo_s": lo["wall"],
+                    "lo_s": lo_wall,
                     "hi_s": hi_wall,
+                    "lo_s_samples": [lo_a["wall"], lo_b["wall"]],
                     "hi_s_samples": [hi_a["wall"], hi_b["wall"]],
                     "cpu_ceiling": [round(cc1, 3), round(cc2, 3)],
                     "mem_ceiling": [round(mc1, 3), round(mc2, 3)],
@@ -418,8 +423,8 @@ def run_maintenance_scaling() -> dict:
             # evidence, but stopping on it risks publishing a ratio
             # whose other level never got a quiet window — require the
             # SECOND-best PER-ROUND minimum of each level within 12% of
-            # its best before settling (per-round, not per-sample: the
-            # two flanking hi runs of one round share a host window, so
+            # its best before settling (per-round, not per-sample: a
+            # round's two samples of one level share a host window, so
             # corroboration must come from a different round)
             lo_sorted = sorted(r["lo_s"] for r in rounds)
             hi_sorted = sorted(r["hi_s"] for r in rounds)
@@ -500,6 +505,11 @@ def run_maintenance_scaling() -> dict:
         # while the minima ratio read 0.77 in the same run). RAW,
         # un-normalized, conservatively capped at 1.0.
         "scaling_efficiency": round(min(1.0, med), 3),
+        # a raw median > 1.0 is physically superlinear — the lo level
+        # was throttled in a way the bracketing ceiling probes missed
+        # (r4 shipped 1.016 exactly this way). The flag stops a reader
+        # from quoting the capped 1.0 as a clean measurement.
+        "superlinear_suspect": med > 1.0,
     }
 
 
@@ -523,6 +533,7 @@ _LINE_KEYS = (
     "raw_efficiency_median",
     "raw_efficiency_capability",
     "scaling_efficiency",
+    "superlinear_suspect",
 )
 _THROUGHPUT_LINE_KEYS = (
     "cpus",

@@ -17,6 +17,7 @@ def _maximal_result() -> dict:
         {
             "lo_s": 42.278 + i,
             "hi_s": 11.857,
+            "lo_s_samples": [42.278 + i, 43.91 + i],
             "hi_s_samples": [11.857, 12.618],
             "cpu_ceiling": [1.015, 0.975],
             "mem_ceiling": [0.92, 1.082],
@@ -55,9 +56,10 @@ def _maximal_result() -> dict:
             "rounds": rounds,
             "accepted_rounds": 8,
             "host_unstable": False,
-            "raw_efficiency_median": 0.893,
+            "raw_efficiency_median": 1.016,
             "raw_efficiency_capability": 0.912,
-            "scaling_efficiency": 0.912,
+            "scaling_efficiency": 1.0,
+            "superlinear_suspect": True,
             "throughput": {
                 "cpus": 16,
                 "docs": 3200000,
@@ -80,7 +82,9 @@ def test_line_fits_driver_tail_window():
     encoded = json.dumps(line)
     assert len(encoded) < 1800, f"bench line is {len(encoded)} chars; driver tail is ~2000"
     # gate-relevant scalars must survive in the line
-    assert line["maintenance"]["scaling_efficiency"] == 0.912
+    assert line["maintenance"]["scaling_efficiency"] == 1.0
+    # a capped gate must carry its superlinear-throttle annotation
+    assert line["maintenance"]["superlinear_suspect"] is True
     assert line["maintenance"]["host_degraded"] is False
     assert line["maintenance"]["throughput"]["gb_per_hour"] == 388.79
     assert len(line["queries"]) == len(bench.HEADLINE)
