@@ -16,6 +16,12 @@ static-data design.
 """
 
 from hoopstat_haus_spark.serving.proxy import ArtifactClient, ArtifactError, serve_artifacts
-from hoopstat_haus_spark.serving.publish import publish_gold_artifacts
+from hoopstat_haus_spark.serving.publish import publish_gold_artifacts, publish_table_artifacts
 
-__all__ = ["ArtifactClient", "ArtifactError", "publish_gold_artifacts", "serve_artifacts"]
+__all__ = [
+    "ArtifactClient",
+    "ArtifactError",
+    "publish_gold_artifacts",
+    "publish_table_artifacts",
+    "serve_artifacts",
+]

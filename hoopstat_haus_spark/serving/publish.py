@@ -111,3 +111,66 @@ def publish_gold_artifacts(
         json.dump(index, f, indent=1)
     os.replace(tmp, os.path.join(out_root, "index", "latest.json"))
     return index
+
+
+def publish_table_artifacts(
+    table,
+    out_root: str,
+    rollups: dict[str, object],
+    snapshot_id: int | None = None,
+    max_artifact_bytes: int = MAX_ARTIFACT_BYTES,
+) -> dict:
+    """Publish rollups of a :class:`TokenLakeTable` from ONE pinned
+    snapshot.
+
+    The snapshot id is resolved ONCE at entry (head at call time, or an
+    explicit ``snapshot_id``) and every rollup runs over
+    ``table.scan(snapshot_id=pinned)`` — so a publisher racing
+    concurrent maintenance (a compact/MERGE committing between two
+    rollup materializations) still emits artifacts of a single
+    consistent table state, and every artifact record AND the index
+    carry that ``snapshot_id`` for the reader to verify (reference
+    analog: the ADR-024 catalog's per-dataset version).
+
+    ``rollups`` maps artifact name → callable(DataFrame) → DataFrame,
+    each receiving the PINNED scan.
+    """
+    pinned = snapshot_id if snapshot_id is not None else table.log.current_id()
+    artifacts = []
+    datasets = {}
+    for name, fn in rollups.items():
+        df = fn(table.scan(snapshot_id=pinned))
+        lines = df.toJSON().collect()
+        os.makedirs(os.path.join(out_root, name, "latest"), exist_ok=True)
+        pages = _pages(lines, max_artifact_bytes)
+        for i, page in enumerate(pages):
+            rel = f"{name}/latest/{i:04d}.json"
+            path = os.path.join(out_root, rel)
+            body = "\n".join(page) + ("\n" if page else "")
+            with open(path + ".tmp", "w") as f:
+                f.write(body)
+            os.replace(path + ".tmp", path)
+            artifacts.append(
+                {
+                    "resource_uri": rel[: -len(".json")],
+                    "rows": len(page),
+                    "bytes": len(body.encode()),
+                    "snapshot_id": pinned,
+                }
+            )
+        datasets[name] = {"rows": len(lines), "pages": len(pages), "snapshot_id": pinned}
+
+    index = {
+        "format_version": 1,
+        "published_at_ms": int(time.time() * 1000),
+        "table_path": table.path,
+        "snapshot_id": pinned,
+        "datasets": datasets,
+        "artifacts": artifacts,
+    }
+    os.makedirs(os.path.join(out_root, "index"), exist_ok=True)
+    tmp = os.path.join(out_root, "index", "latest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(index, f, indent=1)
+    os.replace(tmp, os.path.join(out_root, "index", "latest.json"))
+    return index

@@ -126,3 +126,53 @@ def test_mcp_stdio_tools(gold_root):
     assert bad["result"]["isError"] and "Error" in bad["result"]["content"][0]["text"]
     unknown = handle_request({"jsonrpc": "2.0", "id": 5, "method": "bogus"}, client)
     assert unknown["error"]["code"] == -32601
+
+
+def test_table_publish_pins_one_snapshot_across_maintenance(spark, tmp_path):
+    """Round-5: a publish racing maintenance must emit artifacts of ONE
+    table state. A MERGE commits between the two rollup
+    materializations; both artifacts and the index must still carry the
+    snapshot id pinned at publish entry, and both must reflect the
+    PRE-merge data."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hoopstat_haus_spark.lakehouse import TokenLakeTable
+    from hoopstat_haus_spark.lakehouse.merge import merge_into
+    from hoopstat_haus_spark.serving import publish_table_artifacts
+    from hoopstat_haus_spark.tables import synthetic
+
+    t = TokenLakeTable.create(spark, str(tmp_path / "t"), synthetic(spark, 3000), repartition_n=4)
+    pinned = t.log.current_id()
+
+    def by_source(df):
+        return df.groupBy("source").agg(F.count(F.lit(1)).alias("n")).orderBy("source")
+
+    def first_rollup(df):
+        out = by_source(df)
+        out.collect()  # materialize BEFORE the race commits
+        # concurrent maintenance: insert 25 brand-new docs mid-publish
+        ups = (
+            synthetic(spark, 3050)
+            .withColumn("doc_id", F.concat(F.lit("race-"), F.col("doc_id")))
+            .limit(25)
+        )
+        merge_into(t, ups)
+        return out
+
+    root = str(tmp_path / "gold")
+    index = publish_table_artifacts(t, root, {"a_first": first_rollup, "b_second": by_source})
+    assert t.log.current_id() == pinned + 1, "merge must have committed mid-publish"
+    assert index["snapshot_id"] == pinned
+    assert all(a["snapshot_id"] == pinned for a in index["artifacts"])
+    assert all(d["snapshot_id"] == pinned for d in index["datasets"].values())
+
+    # both artifacts show the SAME (pre-merge) state: identical rollups
+    def served(name):
+        with open(os.path.join(root, name, "latest", "0000.json")) as f:
+            return [json.loads(x) for x in f.read().strip().splitlines()]
+
+    a, b = served("a_first"), served("b_second")
+    assert a == b
+    assert sum(r["n"] for r in a) == 3000  # no race-* docs leaked in
