@@ -71,20 +71,75 @@ def brute_force_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
 
 
 def _hyperplane(dim: int, plane: int) -> list[float]:
-    """Deterministic pseudo-random unit-free hyperplane from a hash mix
-    (closed form → reproducible across engines and runs)."""
+    """Deterministic GAUSSIAN hyperplane: per-component md5-keyed
+    Box-Muller. Gaussian normals make the hyperplane direction uniform
+    on the sphere — the distribution for which the banding math's
+    p_bit = 1 − θ/π is exact. (The round-≤4 generator was a linear
+    congruence of (plane, j); consecutive planes were lattice-correlated,
+    so r-bit buckets collapsed to a tiny value set — at 53k rows / r=14
+    only ~1k distinct buckets per band materialized and 87% of banded
+    rows fell in over-cap buckets. md5 keying has no cross-plane
+    structure.) Pure stdlib → bit-reproducible across runs, engines,
+    and numpy versions."""
+    import hashlib
+    import math
+
     vals = []
     for j in range(dim):
-        h = (plane * 2654435761 + j * 40503 + 12345) % 1000003
-        vals.append((h / 1000003.0) * 2.0 - 1.0)
+        d = hashlib.md5(f"lshplane:{plane}:{j}".encode()).digest()
+        u1 = (int.from_bytes(d[:8], "big") + 1) / (2.0**64 + 2)
+        u2 = int.from_bytes(d[8:], "big") / 2.0**64
+        vals.append(math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.pi * u2))
     return vals
 
 
 def lsh_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
-    """Bit-string signature: sign of ⟨vec, plane_p⟩ per hyperplane."""
+    """Bit-string signature: sign of ⟨vec, plane_p⟩ per hyperplane.
+
+    Pure-JVM expression — right for NARROW plans (≤ ~64 planes), where
+    it stays inside codegen. Wide adaptive plans (hundreds of planes —
+    :func:`plan_lsh_bands` at corpus scale) must NOT use this form:
+    the nested higher-order dot folds run INTERPRETED in Spark 4 and
+    the expression tree is O(planes × dim) nodes; use
+    :func:`lsh_signature_udf` (one Arrow-batched GEMM) instead —
+    :func:`lsh_banded_groups` picks automatically."""
     planes = [F.array(*[F.lit(v) for v in _hyperplane(dim, p)]) for p in range(n_planes)]
     bits = [F.when(dot(vec, pl) > 0, F.lit("1")).otherwise(F.lit("0")) for pl in planes]
     return F.concat(*bits)
+
+
+# above this plane count the Arrow-GEMM signature wins over the JVM
+# expression (whose nested-HOF dots run interpreted in Spark 4)
+_SIG_UDF_MIN_PLANES = 64
+
+
+def lsh_signature_udf(dim: int, n_planes: int):
+    """Vectorized signature for WIDE plans: one numpy GEMM per Arrow
+    batch ((batch × dim) @ (dim × planes) → sign bits → bit-string).
+    Same hyperplanes as :func:`lsh_signature`; the two paths may
+    disagree on a knife-edge projection (float summation order), which
+    is harmless — signatures only gate CANDIDATE generation and every
+    emitted pair is verified by exact cosine downstream. This is the
+    sanctioned Pandas-UDF use: a dense matrix multiply the built-in
+    expression language cannot express efficiently."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    planes_t = np.array(
+        [_hyperplane(dim, p) for p in range(n_planes)], dtype=np.float64
+    ).T  # dim × planes
+
+    def sig(col):
+        if col.empty:
+            return pd.Series([], dtype="object")
+        x = np.vstack(col.to_numpy()).astype(np.float64)
+        bits = x @ planes_t > 0
+        lut = np.array(["0", "1"])
+        return pd.Series(["".join(lut[row.astype(int)]) for row in bits])
+
+    sig.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    return pandas_udf(sig, "string")
 
 
 def lsh_topk(
@@ -214,110 +269,98 @@ def plan_lsh_bands(
     threshold: float = 0.93,
     max_bucket: int = 64,
     miss_prob: float = 1e-3,
-    max_planes: int = 512,
+    max_planes: int = 4096,
+    strict: bool = False,
+    bg_agree: float = 0.60,
 ) -> tuple[int, int]:
     """Derive (rows_per_band r, n_bands b) from corpus size and target
     recall, so the bucket cap never silently eats the corpus.
 
     Two forces: (1) bucket granularity must grow with N or every bucket
-    exceeds ``max_bucket`` and gets DROPPED — r ≥ log2(N / max_bucket)
-    keeps the EXPECTED bucket size under the cap; (2) recall at the
-    cosine ``threshold`` must survive the finer buckets — with
-    p_bit = 1 − θ/π (θ = arccos threshold), a pair collides in one band
-    w.p. p_bit^r, so b = ⌈ln(miss_prob) / ln(1 − p_bit^r)⌉ holds
+    exceeds ``max_bucket`` and gets DROPPED — r ≥ log(N / max_bucket) /
+    log(1 / bg_agree) keeps the EXPECTED bucket size under the cap.
+    ``bg_agree`` is the effective per-bit agreement probability between
+    UNRELATED corpus vectors: the naive uniform-hashing rule (0.5,
+    i.e. r = log2) under-plans badly in practice because bucket
+    collision is E[p_bit^r] over the pair-cosine distribution, and
+    Jensen's tail (the many mildly-similar pairs any real or even
+    random finite-dimensional corpus has) dominates — measured on
+    hash-random corpora: log2-planned r leaves 27% of banded rows in
+    over-cap buckets at dim 16 / 20k rows and 97% at dim 16 / 53k.
+    0.60 empirically bounds dim ≥ 16 random data and moderate
+    embedding anisotropy; raise it for heavily clustered corpora.
+    (2) recall at the cosine ``threshold`` must survive the finer
+    buckets — with p_bit = 1 − θ/π (θ = arccos threshold), a pair
+    collides in one band w.p. p_bit^r, so
+    b = ⌈ln(miss_prob) / ln(1 − p_bit^r)⌉ holds
     P(miss) = (1 − p_bit^r)^b ≤ miss_prob exactly.
 
     r·b is capped at ``max_planes`` (signature cost is r·b dot products
-    per row); if the cap binds, b shrinks and a warning reports the
-    achieved miss probability instead of silently under-recalling.
-    At the 500-row fixture this lands on exactly (4, 8) — the round-2/3
-    hand-picked defaults; at 1e9 rows it plans r=24 and grows b to
-    match, which the old fixed plan could not."""
+    per row). The default budget of 4096 does NOT bind anywhere in the
+    planner's range: the worst case (r capped at 24, i.e. N ≥ ~2e8, at
+    the default 0.93/1e-3 targets) needs r·b = 24·144 = 3456 planes —
+    that signature cost is the honest price of 1e-3 miss probability at
+    scale, not overhead to be trimmed. Callers wanting cheaper
+    signatures pass a lower ``max_planes`` explicitly and accept the
+    warned miss rate; recall-gated callers pass ``strict=True`` to turn
+    a binding budget into a ValueError instead of a silent recall
+    hole. At the ~500-row fixture this plans (5, 10) (the round-2/3
+    hand-picked (4, 8) under-bucketed by the same Jensen tail)."""
     import math
     import warnings
 
-    r = max(4, min(24, math.ceil(math.log2(max(2.0, n_rows / max_bucket)))))
+    r = max(
+        4,
+        min(
+            24,
+            math.ceil(
+                math.log(max(2.0, n_rows / max_bucket)) / math.log(1.0 / bg_agree)
+            ),
+        ),
+    )
     p_bit = 1.0 - math.acos(min(1.0, max(-1.0, threshold))) / math.pi
     p_band = p_bit**r
     b = max(1, math.ceil(math.log(miss_prob) / math.log(1.0 - p_band)))
     if r * b > max_planes:
-        b = max(1, max_planes // r)
-        achieved = (1.0 - p_band) ** b
-        warnings.warn(
-            f"plan_lsh_bands: plane budget {max_planes} caps bands at {b}; "
-            f"miss probability at cosine {threshold} is ~{achieved:.2g} "
-            f"(target {miss_prob:.2g}) — raise max_planes for full recall",
-            stacklevel=2,
+        capped_b = max(1, max_planes // r)
+        achieved = (1.0 - p_band) ** capped_b
+        msg = (
+            f"plan_lsh_bands: plane budget {max_planes} caps bands at {capped_b} "
+            f"(full recall needs {b}); miss probability at cosine {threshold} "
+            f"is ~{achieved:.2g} (target {miss_prob:.2g}) — raise max_planes "
+            "for full recall"
         )
+        if strict:
+            raise ValueError(msg)
+        warnings.warn(msg, stacklevel=2)
+        b = capped_b
     return r, b
 
 
-def lsh_bucket_drop_stats(
-    emb: DataFrame,
-    n_planes: int = 32,
-    n_bands: int = 8,
-    max_bucket: int = 64,
-    dim: int = 64,
+def lsh_banded_groups(
+    emb: DataFrame, n_planes: int, n_bands: int, dim: int = 64
 ) -> DataFrame:
-    """One-row accounting of what the bucket cap discards:
-    (n_buckets, n_dropped_buckets, rows_in_dropped, drop_frac) where
-    drop_frac = banded-row fraction landing in over-cap buckets.
-    Production near-dup callers run this when auto-banding so a plan
-    that is silently dropping a corpus region surfaces as a warning
-    instead of missing recall quietly (a bucket over the cap
-    discriminates nothing — but the rows in it still deserve to be
-    counted as uncovered)."""
+    """(band, bucket, sorted ids) — ONE signature computation and ONE
+    shuffle; both the drop-stats accounting and candidate-pair
+    generation derive from this frame, so callers that need both (the
+    production near-dup path) compute the r·b-plane signature once, not
+    once per diagnostic."""
     rows_per_band = n_planes // n_bands
-    sig = lsh_signature(F.col("embedding"), dim, n_planes)
-    banded = emb.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.substring(sig, b * rows_per_band + 1, rows_per_band).alias("bucket"),
-                ),
-            )
-        ).alias("bb")
-    ).select(F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    per_bucket = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
-    return per_bucket.agg(
-        F.count(F.lit(1)).alias("n_buckets"),
-        F.sum(F.when(F.col("n") > max_bucket, 1).otherwise(0)).cast("long").alias("n_dropped_buckets"),
-        F.sum(F.when(F.col("n") > max_bucket, F.col("n")).otherwise(0)).cast("long").alias("rows_in_dropped"),
-        F.round(
-            F.sum(F.when(F.col("n") > max_bucket, F.col("n")).otherwise(0)) / F.sum("n"), 6
-        ).alias("drop_frac"),
-    )
-
-
-def lsh_candidate_pairs(
-    emb: DataFrame,
-    n_planes: int = 32,
-    n_bands: int = 8,
-    max_bucket: int = 64,
-) -> DataFrame:
-    """Hyperplane-LSH candidate pairs (id1 < id2), bucket-CAPPED.
-
-    Same shape as ``text.dedup.minhash_lsh_candidates``: group each
-    (band, bucket) into a sorted ``collect_list``, DROP buckets larger
-    than ``max_bucket`` (a hot bucket — a dense embedding cluster —
-    discriminates nothing and would make a banded self-join quadratic),
-    and explode pairs from the id list. One shuffle of (band, bucket,
-    vec_id); the band table never materializes twice and no bucket can
-    contribute more than max_bucket²/2 pairs.
-
-    Banding math (r = n_planes/n_bands rows per band): p_bit(c) =
-    1 − θ(c)/π, P(candidate) = 1 − (1 − p_bit^r)^b. Defaults r=4, b=8
-    → at cosine 0.93 (θ≈21.6°, p_bit≈0.88) the miss probability is
-    (1−0.60)^8 ≈ 7e-4. The bucket CAP needs bucket granularity to grow
-    with corpus size: pick r ≈ log2(N / max_bucket) per band at scale
-    (r=4 → 16 bucket values/band fits the ~500-vector fixture; a 1e9-row
-    corpus wants r≈24) — capping with too-coarse buckets silently drops
-    everything."""
-    rows_per_band = n_planes // n_bands
-    sig = lsh_signature(F.col("embedding"), 64, n_planes)
-    banded = emb.select(
+    if n_planes >= _SIG_UDF_MIN_PLANES:
+        # wide adaptive plan: one Arrow-batched GEMM per batch — the
+        # nested-HOF JVM expression runs interpreted at this width.
+        # Materialized as its own projection: a Python UDF cannot
+        # appear inside a higher-order-function lambda, and the
+        # ArrowEvalPython node this extracts to is a collapse barrier,
+        # so the signature is computed exactly once per row.
+        sigged = emb.select(
+            "vec_id", lsh_signature_udf(dim, n_planes)(F.col("embedding")).alias("_sig")
+        )
+        sig = F.col("_sig")
+    else:
+        sigged = emb
+        sig = lsh_signature(F.col("embedding"), dim, n_planes)
+    banded = sigged.select(
         "vec_id",
         F.explode(
             F.transform(
@@ -329,12 +372,37 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    groups = (
-        banded.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    return banded.groupBy("band", "bucket").agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+
+
+def drop_stats_from_groups(groups: DataFrame, max_bucket: int = 64) -> DataFrame:
+    """One-row accounting of what the bucket cap discards:
+    (n_buckets, n_dropped_buckets, rows_in_dropped, drop_frac) where
+    drop_frac = banded-row fraction landing in over-cap buckets.
+    Production near-dup callers run this when auto-banding so a plan
+    that is silently dropping a corpus region surfaces as a warning
+    instead of missing recall quietly (a bucket over the cap
+    discriminates nothing — but the rows in it still deserve to be
+    counted as uncovered)."""
+    per_bucket = groups.select(F.size("ids").alias("n"))
+    return per_bucket.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(F.col("n") > max_bucket, 1).otherwise(0)).cast("long").alias("n_dropped_buckets"),
+        F.sum(F.when(F.col("n") > max_bucket, F.col("n")).otherwise(0)).cast("long").alias("rows_in_dropped"),
+        F.round(
+            F.sum(F.when(F.col("n") > max_bucket, F.col("n")).otherwise(0)) / F.sum("n"), 6
+        ).alias("drop_frac"),
     )
-    pairs = groups.select(
+
+
+def pairs_from_groups(groups: DataFrame, max_bucket: int = 64) -> DataFrame:
+    """Candidate pairs (id1 < id2) from banded groups, bucket-CAPPED:
+    DROP buckets larger than ``max_bucket`` (a hot bucket — a dense
+    embedding cluster — discriminates nothing and would make a banded
+    self-join quadratic) and explode pairs from each surviving id list;
+    no bucket can contribute more than max_bucket²/2 pairs."""
+    kept = groups.filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    pairs = kept.select(
         F.explode(
             F.flatten(
                 F.transform(
@@ -348,6 +416,40 @@ def lsh_candidate_pairs(
         ).alias("p")
     )
     return pairs.select(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2")).distinct()
+
+
+def lsh_bucket_drop_stats(
+    emb: DataFrame,
+    n_planes: int = 32,
+    n_bands: int = 8,
+    max_bucket: int = 64,
+    dim: int = 64,
+) -> DataFrame:
+    """Standalone drop accounting (see :func:`drop_stats_from_groups`).
+    Computes its own banded groups; callers that ALSO need candidate
+    pairs should build :func:`lsh_banded_groups` once and derive both."""
+    return drop_stats_from_groups(lsh_banded_groups(emb, n_planes, n_bands, dim), max_bucket)
+
+
+def lsh_candidate_pairs(
+    emb: DataFrame,
+    n_planes: int = 32,
+    n_bands: int = 8,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Hyperplane-LSH candidate pairs (id1 < id2), bucket-CAPPED.
+
+    Same shape as ``text.dedup.minhash_lsh_candidates``: one shuffle of
+    (band, bucket, vec_id); the band table never materializes twice.
+
+    Banding math (r = n_planes/n_bands rows per band): p_bit(c) =
+    1 − θ(c)/π, P(candidate) = 1 − (1 − p_bit^r)^b. Defaults r=4, b=8
+    → at cosine 0.93 (θ≈21.6°, p_bit≈0.88) the miss probability is
+    (1−0.60)^8 ≈ 7e-4. The bucket CAP needs bucket granularity to grow
+    with corpus size — capping with too-coarse buckets silently drops
+    everything; :func:`plan_lsh_bands` derives the right r (including
+    the non-uniform-bucket correction) and b automatically."""
+    return pairs_from_groups(lsh_banded_groups(emb, n_planes, n_bands), max_bucket)
 
 
 def embedding_near_dups(
@@ -370,11 +472,18 @@ def embedding_near_dups(
     grows with log2(N/max_bucket) so bucket granularity tracks corpus
     size, and the band count grows to hold the miss probability at
     ``threshold`` — a fixed (32, 8) plan drops most buckets past ~1k
-    vectors. A drop-stats pass (:func:`lsh_bucket_drop_stats`) then
-    warns if a significant banded-row fraction still lands in over-cap
-    buckets (e.g. one giant near-identical cluster), instead of
-    discarding it silently. At the 500-row fixture the plan is exactly
-    the old hand-picked (r=4, b=8), so gate results are unchanged."""
+    vectors. The banded groups are built ONCE and localCheckpoint'd:
+    the drop-stats accounting AND candidate generation both read the
+    materialized frame (round 4 computed the full r·b-plane signature
+    twice — once for the warn-only diagnostic, once for the pairs);
+    the checkpoint blocks free themselves via the ContextCleaner when
+    the result DataFrame is dropped. The drop-stats check warns if a
+    significant banded-row fraction lands in over-cap buckets (e.g.
+    one giant near-identical cluster), instead of discarding it
+    silently. Plan changes never change RESULTS (the output is the
+    exact-cosine-verified pair set; banding only affects which pairs
+    become candidates, and the plan holds recall at ≤ miss_prob), so
+    the driver gate's oracle is plan-independent."""
     import warnings
 
     emb = load(spark, sf_dir, "embeddings")
@@ -384,9 +493,8 @@ def embedding_near_dups(
         emb = emb.select("vec_id", "embedding")
     max_bucket = 64
     r, b = plan_lsh_bands(emb.count(), threshold=threshold, max_bucket=max_bucket)
-    stats = lsh_bucket_drop_stats(
-        emb, n_planes=r * b, n_bands=b, max_bucket=max_bucket
-    ).collect()[0]
+    groups = lsh_banded_groups(emb, n_planes=r * b, n_bands=b).localCheckpoint(eager=False)
+    stats = drop_stats_from_groups(groups, max_bucket).collect()[0]
     if (stats["drop_frac"] or 0.0) > 0.2:
         warnings.warn(
             f"embedding_near_dups: {stats['drop_frac']:.1%} of banded rows fall in "
@@ -395,7 +503,7 @@ def embedding_near_dups(
             "or pre-split the dense cluster",
             stacklevel=2,
         )
-    cand = lsh_candidate_pairs(emb, n_planes=r * b, n_bands=b, max_bucket=max_bucket)
+    cand = pairs_from_groups(groups, max_bucket)
     e1 = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"))
     e2 = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"))
     return (

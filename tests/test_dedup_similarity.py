@@ -164,30 +164,40 @@ def test_ivf_ann_recall_vs_brute_force(spark):
 
 
 def test_plan_lsh_bands_fixture_and_scale():
-    """Fixture-size corpora keep the hand-picked (4, 8) plan (gate
-    parity); large corpora grow r with log2(N/max_bucket) AND grow b to
-    hold recall at threshold; the plane budget binds with a warning."""
+    """r grows with log(N/max_bucket)/log(1/bg_agree) — the round-5
+    non-uniform-bucket correction (bg 0.60, not the naive 0.5) — AND b
+    grows to hold recall at threshold; the default plane budget binds
+    nowhere in range; an explicit tight budget warns (strict raises)."""
+    import math
     import warnings
+
+    import pytest
 
     from hoopstat_haus_spark.similarity.ann import plan_lsh_bands
 
-    import math
+    def exact_r(n):
+        return max(4, min(24, math.ceil(math.log(n / 64) / math.log(1 / 0.60))))
 
-    assert plan_lsh_bands(506, threshold=0.93) == (4, 8)
-    with warnings.catch_warnings(record=True):
-        warnings.simplefilter("always")
-        r, b = plan_lsh_bands(1_000_000, threshold=0.93)
-    assert r == 14  # ceil(log2(1e6/64))
-    # b grows toward the exact-recall band count, bounded by the plane
-    # budget (a capped plan warns instead of silently under-recalling)
     p_bit = 1.0 - math.acos(0.93) / math.pi
-    exact_b = math.ceil(math.log(1e-3) / math.log(1.0 - p_bit**r))
-    assert b == min(exact_b, 512 // r)
+
+    def exact_b(r):
+        return math.ceil(math.log(1e-3) / math.log(1.0 - p_bit**r))
+
+    assert plan_lsh_bands(506, threshold=0.93) == (5, 10)  # was (4, 8) pre-correction
+    for n in (506, 53_000, 1_000_000, 10**9):
+        r, b = plan_lsh_bands(n, threshold=0.93)
+        assert (r, b) == (exact_r(n), exact_b(exact_r(n))), n
+        # the default budget (4096) binds NOWHERE: even r capped at 24
+        # needs only 24*143 = 3432 planes for full 1e-3 recall
+        assert r * b <= 4096
+    # an EXPLICIT tight budget still warns (and strict mode raises)
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        r9, b9 = plan_lsh_bands(10**9, threshold=0.93)
-        assert r9 == 24 and r9 * b9 <= 512
+        rc, bc = plan_lsh_bands(10**9, threshold=0.93, max_planes=512)
+        assert rc == 24 and rc * bc <= 512
         assert any("plane budget" in str(x.message) for x in w)
+    with pytest.raises(ValueError, match="plane budget"):
+        plan_lsh_bands(10**9, threshold=0.93, max_planes=512, strict=True)
 
 
 def test_lsh_bucket_drop_stats_flags_hot_cluster(spark):
@@ -211,3 +221,67 @@ def test_lsh_bucket_drop_stats_flags_hot_cluster(spark):
     dirty = lsh_bucket_drop_stats(base.unionByName(hot)).collect()[0]
     assert dirty["drop_frac"] > 0.5
     assert dirty["n_dropped_buckets"] >= 1
+
+
+def test_adaptive_banding_at_depth_50k(spark):
+    """Round-5 depth gate for the adaptive plan (the regime the round-3
+    fixed 32/8 plan silently failed in): a ~50k-vector corpus with a
+    planted dense cluster. Asserts (a) the planned r grows past the
+    fixture's 4, (b) the dense cluster stays under 20% drop_frac, and
+    (c) recall on planted scaled dups >= 0.99 — while the OLD fixed
+    plan recalls < 0.5 on the identical corpus."""
+    from hoopstat_haus_spark.similarity.ann import (
+        drop_stats_from_groups,
+        lsh_banded_groups,
+        pairs_from_groups,
+        plan_lsh_bands,
+        plant_scaled_dups,
+    )
+
+    N, DIM = 50_000, 32
+    idx = F.sequence(F.lit(0), F.lit(DIM - 1))
+    base = spark.range(N).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            idx,
+            lambda j: ((F.pmod(F.xxhash64(F.col("id"), j, F.lit(1)), F.lit(2001)) / 1000.0) - 1.0).cast(
+                "float"
+            ),
+        ).alias("embedding"),
+    )
+    # dense near-identical cluster: 2.5k rows around one direction
+    cluster = spark.range(2_500).select(
+        (F.col("id") + 200_000).alias("vec_id"),
+        F.transform(
+            idx,
+            lambda j: (
+                F.lit(1.0) + F.pmod(F.xxhash64(F.col("id"), j, F.lit(2)), F.lit(100)) / 5000.0
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    emb = plant_scaled_dups(base, every=100).unionByName(cluster)
+    n = emb.count()
+
+    r, b = plan_lsh_bands(n, threshold=0.93)
+    assert r > 4, "r must grow past the fixture plan at 50k rows"
+    groups = lsh_banded_groups(emb, n_planes=r * b, n_bands=b, dim=DIM).localCheckpoint()
+    stats = drop_stats_from_groups(groups).collect()[0]
+    assert (stats["drop_frac"] or 0.0) < 0.20, stats
+    assert stats["n_dropped_buckets"] >= 1, "the planted cluster must show up in drop accounting"
+
+    planted = {(i, i + 10_000_000) for i in range(0, N, 100)}
+    pairs = {
+        (r2["id1"], r2["id2"])
+        for r2 in pairs_from_groups(groups).collect()
+    }
+    found = sum(1 for p in planted if p in pairs)
+    assert found / len(planted) >= 0.99, f"adaptive recall {found}/{len(planted)}"
+
+    # the old fixed plan on the SAME corpus: r=4 -> 16 bucket values per
+    # band for 50k rows, every bucket over the cap, recall collapses
+    old_pairs = {
+        (r2["id1"], r2["id2"])
+        for r2 in pairs_from_groups(lsh_banded_groups(emb, 32, 8, dim=DIM)).collect()
+    }
+    old_found = sum(1 for p in planted if p in old_pairs)
+    assert old_found / len(planted) < 0.5, f"fixed plan unexpectedly recalls {old_found}"
