@@ -15,6 +15,19 @@ Readers always resolve data files THROUGH a snapshot's manifest — never
 by listing directories — which is what makes commits atomic and scans
 snapshot-isolated (reference analog: downstream only reacts to the
 silver-ready marker, ``meta/adr/ADR-028:33-38``).
+
+Scale bound — scan path list: a full-table ``scan()`` materializes every
+surviving file path driver-side into one ``parquet(*paths)`` call. At the
+target 10^6-file scale that is ~10^8 bytes of path strings — the same
+O(files) planning footprint an Iceberg/Delta driver holds when it turns
+manifests into FileScanTasks, and an order of magnitude under the shard
+metadata already resident during pruning, so it is a documented bound,
+not a defect. Every predicate (partition, stat range) prunes BEFORE the
+list is built, so only unfiltered full-table scans ever see the maximum;
+memory grows with files *selected*, never files *on disk*. If a future
+deployment outgrows it, the fix is mechanical: chunk ``paths`` into
+per-partition ``parquet()`` reads behind a ``unionByName`` (plans
+identically — Spark unions the file indices) — not needed at 10^6.
 """
 
 from __future__ import annotations

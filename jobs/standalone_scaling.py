@@ -48,10 +48,19 @@ def _spark_class() -> str:
     return os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-class")
 
 
-def _start_daemon(cls: str, argv: list[str], log: str, env: dict) -> subprocess.Popen:
+def _start_daemon(
+    cls: str, argv: list[str], log: str, env: dict, cpuset: str | None = None
+) -> subprocess.Popen:
     os.makedirs(SCRATCH, exist_ok=True)
+    # --pin topology: taskset-pin the worker JVM to a disjoint core set;
+    # executors (and their Python workers) are forked children, so the
+    # affinity mask is inherited by the whole worker subtree. This
+    # separates OS-scheduler interference (two workers migrating over
+    # the same cores) from DRAM-bandwidth contention (unaffected by
+    # pinning) in the 4→16 scaling corroboration.
+    prefix = ["taskset", "-c", cpuset] if cpuset else []
     return subprocess.Popen(
-        [_spark_class(), cls, *argv],
+        [*prefix, _spark_class(), cls, *argv],
         stdout=open(log, "w"),
         stderr=subprocess.STDOUT,
         env=env,
@@ -108,6 +117,13 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--warmups", type=int, default=3, help="untimed iterations per level (executor JIT)")
     ap.add_argument("--port", type=int, default=7077)
+    ap.add_argument(
+        "--pin",
+        action="store_true",
+        help="taskset-pin each worker JVM to a disjoint core set "
+        "(worker i gets cores [i*W, (i+1)*W) for W advertised cores) — "
+        "isolates scheduler effects from DRAM contention",
+    )
     args = ap.parse_args()
     assert args.hi % args.lo == 0
     factor = args.hi // args.lo
@@ -133,12 +149,16 @@ def main() -> None:
                 SPARK_WORKER_DIR=os.path.join(SCRATCH, f"worker{i}"),
                 SPARK_LOCAL_DIRS=f"/dev/shm/spark-graft-w{i}",
             )
+            cpuset = (
+                f"{(i - 1) * worker_cores}-{i * worker_cores - 1}" if args.pin else None
+            )
             daemons.append(
                 _start_daemon(
                     "org.apache.spark.deploy.worker.Worker",
                     [master_url, "-c", str(worker_cores), "-m", "20g", "--webui-port", f"809{i+1}"],
                     os.path.join(SCRATCH, f"worker{i}.log"),
                     wenv,
+                    cpuset=cpuset,
                 )
             )
             _wait_log(os.path.join(SCRATCH, f"worker{i}.log"), "Successfully registered")
@@ -181,7 +201,11 @@ def main() -> None:
         print(
             json.dumps(
                 {
-                    "topology": f"standalone 2 workers x {worker_cores} cores, 2 executor JVMs per app",
+                    "topology": (
+                        f"standalone 2 workers x {worker_cores} cores"
+                        + (", cpuset-pinned disjoint" if args.pin else "")
+                        + ", 2 executor JVMs per app"
+                    ),
                     "lo_cores": args.lo,
                     "hi_cores": args.hi,
                     "docs": args.docs,
