@@ -59,15 +59,72 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pair_jaccard(docs: DataFrame) -> DataFrame:
-    """Inverted-index exact Jaccard over distinct word 3-grams."""
+def _pair_jaccard(docs: DataFrame, hot_cap: int = 1024) -> DataFrame:
+    """Inverted-index exact Jaccard over distinct word 3-grams.
+
+    Pair generation is grouped-by-shingle (round-5 rework — 1.6×
+    faster than the previous exploded self-join at sf0.1, 16.7 → 10.5 s
+    interleaved best-of-3, identical results): ONE shuffle of
+    (sh, doc_id) into sorted posting lists, instead of a self-join
+    shuffling the exploded table twice and sort-merging it. Keys are
+    the shingle STRINGS, not hashes — a hash collision would merge
+    posting lists and inflate n_inter, and `exact` means exact.
+
+    Pair EXPLOSION is split by posting-list length. A posting list in
+    an agg buffer is linear (8 B/doc — a 10^6-doc list is 8 MB), but
+    the flatten'd pair array is quadratic (|ids|²/2 structs — 10^6
+    docs would be 4 TB in one task):
+
+    - lists ≤ ``hot_cap``: explode pairs from the list; per-task
+      memory bounded by hot_cap²/2 pair structs per group.
+    - lists > ``hot_cap`` (a globally common 3-gram in a web-scale
+      corpus): re-explode the list back to (sh, doc_id) and pair via
+      the streaming sort-merge self-join, which spills instead of
+      materializing. Quadratic OUTPUT is inherent to exact Jaccard
+      (this is the documented non-scale baseline); the split only
+      keeps the blowup off a single task's memory.
+
+    Both branches read the SAME partial-agg exchange — the corpus is
+    scanned and shuffled once. (ReusedExchange appears in the EXECUTED
+    plan, not the pre-run explain: AQE finalizes exchange reuse at
+    runtime; tests/test_dedup_similarity.py pins it.) The hot branch
+    therefore costs nothing until a list actually exceeds the cap
+    (no test/bench corpus does — sf0.1's max posting list is 25)."""
     sh = docs.select("doc_id", F.explode(F.col("shingles")).alias("sh"))
     sizes = docs.select("doc_id", F.size("shingles").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    groups = (
+        sh.groupBy("sh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    cold_pairs = (
+        groups.filter(F.size("ids") <= hot_cap)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                            lambda y: F.struct(x.alias("doc1"), y.alias("doc2")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.doc1").alias("doc1"), F.col("p.doc2").alias("doc2"))
+    )
+    hot_sh = groups.filter(F.size("ids") > hot_cap).select(
+        "sh", F.explode("ids").alias("doc_id")
+    )
+    a = hot_sh.alias("a")
+    b = hot_sh.alias("b")
+    hot_pairs = a.join(
+        b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
     inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        cold_pairs.unionByName(hot_pairs)
+        .groupBy("doc1", "doc2")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1"))

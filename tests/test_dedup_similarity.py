@@ -64,6 +64,25 @@ def test_simhash_close_pairs_have_close_bags(spark):
     assert sum(sims) / len(sims) > 0.1
 
 
+def test_pair_jaccard_hot_branch_parity_and_single_scan(spark):
+    """The posting-list-length split in _pair_jaccard must not change
+    results: forcing EVERY shingle down the hot (streaming self-join)
+    branch with hot_cap=0 yields the identical pair set as the default
+    all-cold path. Both branches must also share one shuffle of the
+    exploded corpus — the executed (AQE-final) plan contains a
+    ReusedExchange, so the hot fallback never costs a second scan."""
+    d = load(spark, SF, "documents").select("doc_id", word_shingles(F.col("text")).alias("shingles"))
+    cold = sorted(tuple(r) for r in _pair_jaccard(d).collect())
+    hot = sorted(tuple(r) for r in _pair_jaccard(d, hot_cap=0).collect())
+    assert cold, "fixture should produce pairs"
+    assert cold == hot
+
+    df = _pair_jaccard(d, hot_cap=0)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, "hot/cold branches must share the (sh) exchange"
+
+
 def test_lsh_ann_recall_vs_brute_force(spark):
     truth = brute_force_topk(spark, SF, k=5).collect()
     approx = lsh_topk(spark, SF, k=5).collect()
