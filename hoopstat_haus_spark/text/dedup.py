@@ -46,6 +46,37 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     return F.array_distinct(F.when(n >= k, grams).otherwise(F.array(F.array_join(words, " "))))
 
 
+def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles), MATERIALIZED via lazy localCheckpoint.
+
+    The shingle build (split → per-gram slice + array_join over every
+    word) is the single most expensive expression in every dedup
+    pipeline — measured 3.8 s of dedup_minhash_lsh's 16.2 s wall at
+    sf0.1, and the old plan recomputed it THREE times (candidate
+    generation plus both verification join sides; 8.35 s → 1.01 s for
+    candidate generation alone once materialized). Checkpointing is
+    the batch analog of persisting the shingle table, which a
+    production near-dup pipeline keeps as a build artifact anyway;
+    storage is O(corpus tokens) executor-local disk (the same order as
+    one shuffle of the exploded corpus), and the blocks free
+    themselves via the ContextCleaner when the result DataFrame is
+    dropped.
+
+    The raw docs are repartitioned to the session default parallelism
+    FIRST: checkpoint materialization runs at the child's partitioning,
+    and a small corpus in one parquet file would otherwise build every
+    shingle in a single task (measured 41 s cold vs ~6 s repartitioned
+    at sf0.1). One shuffle of the raw text is the price — the same
+    payload volume the exploded-shingle shuffle moves anyway, and at
+    scale (files ≫ cores) the repartition is a cheap no-op rebalance."""
+    docs = load(spark, sf_dir, "documents")
+    npart = spark.sparkContext.defaultParallelism
+    d = docs.repartition(npart, "doc_id").select(
+        "doc_id", word_shingles(F.col("text")).alias("shingles")
+    )
+    return d.localCheckpoint(eager=False)
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on normalized-content digest; keeps min doc_id."""
     d = load(spark, sf_dir, "documents")
@@ -149,7 +180,7 @@ def ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str, k: int = 20) -> Da
     the global top-k; the single-partition row_number window then ranks
     ≤ 10·k rows instead of ALL pairs. Before this fix the global window
     was the scale bottleneck of the whole query."""
-    d = load(spark, sf_dir, "documents").select("doc_id", word_shingles(F.col("text")).alias("shingles"))
+    d = shingled_docs(spark, sf_dir)
     order = [F.desc("jaccard"), F.asc("doc1"), F.asc("doc2")]
     pruned = _pair_jaccard(d).orderBy(*order).limit(10 * k)
     w = Window.orderBy(*order)
@@ -231,8 +262,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.5) 
 
     No SQL oracle (xxhash64 banding isn't ANSI-SQL); the pytest suite
     instead proves recall: every true pair ≥ threshold found by the
-    brute-force inverted index is also found here."""
-    d = load(spark, sf_dir, "documents").select("doc_id", word_shingles(F.col("text")).alias("shingles"))
+    brute-force inverted index is also found here.
+
+    The shingle table is materialized once (:func:`shingled_docs`) and
+    read three times — candidate generation and both verification join
+    sides; recomputing it per consumer was 10+ s of the 16.2 s sf0.1
+    wall (16.2 → ~6 s after)."""
+    return _minhash_verified(shingled_docs(spark, sf_dir), threshold)
+
+
+def _minhash_verified(d: DataFrame, threshold: float) -> DataFrame:
+    """LSH-candidate + exact-Jaccard-verify over a (doc_id, shingles)
+    frame the caller already materialized (see :func:`shingled_docs`)."""
     cand = minhash_lsh_candidates(d)
     verified = (
         cand.join(d.select(F.col("doc_id").alias("doc1"), F.col("shingles").alias("sh1")), "doc1")
@@ -343,15 +384,18 @@ def minhash_recall_gate(
     DuckDB and pins n_missed to the literal 0 — this turns the pytest
     recall property into a driver-checked gate. truth_threshold 0.6 sits
     well above the 8×2 banding's s50 ≈ 0.35, and the whole pipeline is
-    deterministic (xxhash64, frozen fixture), so the gate is stable."""
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", word_shingles(F.col("text")).alias("shingles")
-    )
+    deterministic (xxhash64, frozen fixture), so the gate is stable.
+
+    Truth and LSH sides share ONE materialized shingle table — the
+    gate runs the full inverted-index pipeline AND the full LSH
+    pipeline, so without sharing it would rebuild shingles five
+    times."""
+    d = shingled_docs(spark, sf_dir)
     truth = (
         _pair_jaccard(d).filter(F.col("jaccard") >= truth_threshold).select("doc1", "doc2")
     )
     found = (
-        dedup_minhash_lsh(spark, sf_dir, threshold=0.5)
+        _minhash_verified(d, threshold=0.5)
         .select("doc1", "doc2")
         .dropDuplicates()
         .withColumn("_hit", F.lit(1))
