@@ -165,6 +165,13 @@ def host_ceilings(n: int) -> tuple[float, float]:
 
 
 CEILING_NEUTRAL = 0.85
+# Pair SELECTION needs headroom above the per-round acceptance bar: it
+# commits the whole run to one (N, 4N) pair from a single ceiling
+# reading, and the window can drift after it (observed: n=2 selected at
+# memcpy 0.918, then every round measured 0.69-0.83 — the whole run's
+# ratios were host-capped below the gate). The 0.05 margin absorbs
+# drift; rounds themselves accept at CEILING_NEUTRAL.
+CEILING_SELECT = 0.90
 
 # Absolute host-speed calibration. The ceiling microbenches measure
 # RATIOS, so a UNIFORMLY throttled host (both levels equally slow) still
@@ -212,17 +219,18 @@ def _write_calibration(best: float) -> None:
 
 def select_scaling_pair(candidates: tuple[int, ...] = (4, 2, 1)) -> tuple[int, list[dict]]:
     """Pick the largest N whose N→4N pair the HOST itself scales ≥
-    CEILING_NEUTRAL on BOTH microbenches — i.e. a pair where the box is
-    neutral and the raw engine ratio is meaningful without any
-    normalization. On a real cluster (4× the hardware at 4N) every pair
-    qualifies and this returns the first candidate; on this single
-    socket it typically returns N=1 (1→4 threads stay under the DRAM
-    saturation knee). Falls back to the smallest candidate."""
+    CEILING_SELECT on BOTH microbenches — i.e. a pair where the box is
+    neutral (with drift headroom; see CEILING_SELECT) and the raw
+    engine ratio is meaningful without any normalization. On a real
+    cluster (4× the hardware at 4N) every pair qualifies and this
+    returns the first candidate; on this single socket it typically
+    returns N=1 (1→4 threads stay under the DRAM saturation knee).
+    Falls back to the smallest candidate."""
     report = []
     chosen = None
     for n in candidates:
         cc, mc = host_ceilings(n)
-        ok = cc >= CEILING_NEUTRAL and mc >= CEILING_NEUTRAL
+        ok = cc >= CEILING_SELECT and mc >= CEILING_SELECT
         report.append(
             {"n": n, "cpu_ceiling": round(cc, 3), "mem_ceiling": round(mc, 3), "neutral": ok}
         )
@@ -315,7 +323,11 @@ def run_maintenance_scaling() -> dict:
       measurements; a round is ACCEPTED only if the ceilings are stable
       across it (host didn't shift throttle regimes mid-round —
       unstable rounds' lo and hi walls were measured under different
-      host speeds and their ratio is meaningless). BOTH levels run
+      host speeds and their ratio is meaningless) AND neutral (both
+      ceilings ≥ CEILING_NEUTRAL on both flanks — the same criterion
+      pair selection applies, held per-round because the window can
+      drift after selection; a round the host itself can't scale ≥0.85
+      on memcpy is structurally capped and measures the box). BOTH levels run
       TWICE per round and each level's wall is the min of its two
       samples — SYMMETRIC min-of-2 (round 5): the round-4 scheme
       min'd only the hi level (hi runs are 4× shorter, so a single hi
@@ -393,7 +405,18 @@ def run_maintenance_scaling() -> dict:
             hi_wall = min(hi_a["wall"], hi_b["wall"])
             lo_s.extend([lo_a["wall"], lo_b["wall"]])
             hi_s.extend([hi_a["wall"], hi_b["wall"]])
-            ok = stable(cc1, cc2, 0.15) and stable(mc1, mc2, 0.25)
+            # Acceptance = STABLE (host didn't shift regimes mid-round;
+            # the two walls of a ratio must share one regime) AND
+            # NEUTRAL (both ceilings ≥ CEILING_NEUTRAL on both flanks:
+            # a round where the host's own memcpy scales 0.75 N→4N
+            # caps the engine ratio below the gate no matter what the
+            # engine does — such a round is evidence about the BOX, not
+            # the engine, and pair selection applies this exact
+            # criterion; it just has to keep holding during the run).
+            neutral = (
+                min(cc1, cc2) >= CEILING_NEUTRAL and min(mc1, mc2) >= CEILING_NEUTRAL
+            )
+            ok = stable(cc1, cc2, 0.15) and stable(mc1, mc2, 0.25) and neutral
             raw = lo_wall / (4.0 * hi_wall)
             rounds.append(
                 {
@@ -403,6 +426,7 @@ def run_maintenance_scaling() -> dict:
                     "hi_s_samples": [hi_a["wall"], hi_b["wall"]],
                     "cpu_ceiling": [round(cc1, 3), round(cc2, 3)],
                     "mem_ceiling": [round(mc1, 3), round(mc2, 3)],
+                    "ceiling_neutral": neutral,
                     "host_stable": ok,
                     "raw_efficiency": round(raw, 3),
                 }
