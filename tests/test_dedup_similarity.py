@@ -304,3 +304,17 @@ def test_adaptive_banding_at_depth_50k(spark):
     }
     old_found = sum(1 for p in planted if p in old_pairs)
     assert old_found / len(planted) < 0.5, f"fixed plan unexpectedly recalls {old_found}"
+
+
+def test_shingled_docs_materializes_at_full_parallelism(spark):
+    """The shared shingle table (text/dedup.py::shingled_docs) must
+    checkpoint at the session's default parallelism: a one-file corpus
+    would otherwise materialize every shingle in a SINGLE task (measured
+    41 s vs ~6 s at sf0.1), and every dedup consumer inherits that
+    bottleneck. Pins the repartition-before-checkpoint contract."""
+    from hoopstat_haus_spark.text.dedup import shingled_docs
+
+    d = shingled_docs(spark, SF)
+    assert d.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    # and it carries exactly the (doc_id, shingles) schema the consumers join on
+    assert [f.name for f in d.schema.fields] == ["doc_id", "shingles"]
