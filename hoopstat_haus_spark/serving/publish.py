@@ -17,9 +17,11 @@ Design:
   written ATOMICALLY LAST via os.replace — a reader always sees either
   the complete new catalog or the previous one, the same
   commit-ordering rule as the lakehouse snapshot pointer.
-- Collecting results to the driver is correct here BY DESIGN: gold
-  artifacts are pre-aggregated rollups/leaderboards (KB-scale); the
-  100 TB work happened upstream in the queries that produced them.
+- Results STREAM through the driver (``toJSON().toLocalIterator()`` →
+  one page in memory at a time): gold artifacts are pre-aggregated
+  rollups/leaderboards (KB-scale) so this rarely matters, but a
+  publisher pointed at a large result is bounded by the page cap plus
+  one result partition, never the full result.
 """
 
 from __future__ import annotations
@@ -43,17 +45,51 @@ DEFAULT_GOLD_QUERIES = [
 ]
 
 
-def _pages(lines: list[str], cap: int) -> list[list[str]]:
-    pages: list[list[str]] = [[]]
+def _write_pages(
+    line_iter, out_root: str, name: str, cap: int, extra: dict | None = None
+) -> tuple[list[dict], int]:
+    """Stream newline-JSON lines into ≤``cap``-byte page files under
+    ``<out_root>/<name>/latest/``; returns (page records, total rows).
+
+    Only the CURRENT page is ever held in memory, so driver memory is
+    bounded by the page cap no matter how large the published result is
+    (the caller feeds ``df.toJSON().toLocalIterator()``, which fetches
+    one partition at a time — a full-table publish can't OOM the
+    driver the way a ``collect()`` would). Partition order follows
+    partition index, so a query's global ORDER BY survives paging."""
+    os.makedirs(os.path.join(out_root, name, "latest"), exist_ok=True)
+    records: list[dict] = []
+    page: list[str] = []
     size = 0
-    for line in lines:
+    total = 0
+
+    def flush() -> None:
+        nonlocal page, size
+        rel = f"{name}/latest/{len(records):04d}.json"
+        path = os.path.join(out_root, rel)
+        body = "\n".join(page) + ("\n" if page else "")
+        with open(path + ".tmp", "w") as f:
+            f.write(body)
+        os.replace(path + ".tmp", path)
+        rec = {
+            "resource_uri": rel[: -len(".json")],
+            "rows": len(page),
+            "bytes": len(body.encode()),
+        }
+        if extra:
+            rec.update(extra)
+        records.append(rec)
+        page, size = [], 0
+
+    for line in line_iter:
         n = len(line.encode()) + 1
-        if pages[-1] and size + n > cap:
-            pages.append([])
-            size = 0
-        pages[-1].append(line)
+        if page and size + n > cap:
+            flush()
+        page.append(line)
         size += n
-    return pages
+        total += 1
+    flush()  # an empty result still publishes one (empty) page
+    return records, total
 
 
 def publish_gold_artifacts(
@@ -78,25 +114,13 @@ def publish_gold_artifacts(
     datasets = {}
     for name in names:
         df = queries[name](spark, sf_dir)
-        # toJSON serializes JVM-side; only the (small, pre-aggregated)
-        # result strings cross to the driver
-        lines = df.toJSON().collect()
-        qdir = os.path.join(out_root, name, "latest")
-        os.makedirs(qdir, exist_ok=True)
-        pages = _pages(lines, max_artifact_bytes)
-        page_records = []
-        for i, page in enumerate(pages):
-            rel = f"{name}/latest/{i:04d}.json"
-            path = os.path.join(out_root, rel)
-            body = "\n".join(page) + ("\n" if page else "")
-            with open(path + ".tmp", "w") as f:
-                f.write(body)
-            os.replace(path + ".tmp", path)
-            page_records.append(
-                {"resource_uri": rel[: -len(".json")], "rows": len(page), "bytes": len(body.encode())}
-            )
+        # toJSON serializes JVM-side; toLocalIterator ships one
+        # partition of result strings at a time (see _write_pages)
+        page_records, nrows = _write_pages(
+            df.toJSON().toLocalIterator(), out_root, name, max_artifact_bytes
+        )
         artifacts.extend(page_records)
-        datasets[name] = {"rows": len(lines), "pages": len(pages)}
+        datasets[name] = {"rows": nrows, "pages": len(page_records)}
 
     index = {
         "format_version": 1,
@@ -140,25 +164,15 @@ def publish_table_artifacts(
     datasets = {}
     for name, fn in rollups.items():
         df = fn(table.scan(snapshot_id=pinned))
-        lines = df.toJSON().collect()
-        os.makedirs(os.path.join(out_root, name, "latest"), exist_ok=True)
-        pages = _pages(lines, max_artifact_bytes)
-        for i, page in enumerate(pages):
-            rel = f"{name}/latest/{i:04d}.json"
-            path = os.path.join(out_root, rel)
-            body = "\n".join(page) + ("\n" if page else "")
-            with open(path + ".tmp", "w") as f:
-                f.write(body)
-            os.replace(path + ".tmp", path)
-            artifacts.append(
-                {
-                    "resource_uri": rel[: -len(".json")],
-                    "rows": len(page),
-                    "bytes": len(body.encode()),
-                    "snapshot_id": pinned,
-                }
-            )
-        datasets[name] = {"rows": len(lines), "pages": len(pages), "snapshot_id": pinned}
+        page_records, nrows = _write_pages(
+            df.toJSON().toLocalIterator(),
+            out_root,
+            name,
+            max_artifact_bytes,
+            extra={"snapshot_id": pinned},
+        )
+        artifacts.extend(page_records)
+        datasets[name] = {"rows": nrows, "pages": len(page_records), "snapshot_id": pinned}
 
     index = {
         "format_version": 1,
