@@ -41,3 +41,25 @@ def day(col) -> Column:
 def month(col) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.date_format(c, "yyyy-MM")
+
+
+def sorted_ids_pairs(ids: Column | str, n1: str, n2: str) -> Column:
+    """All ordered pairs (a < b) from a SORTED id array, as an
+    array<struct<n1, n2>> — ``F.explode(...)`` at the call site.
+
+    Shared by every bucketed pair generator (posting lists, MinHash/
+    SimHash bands, embedding-LSH buckets): pairs come from ONE
+    collect_list shuffle instead of a self-join that materializes the
+    banded table twice. The flattened pair array is QUADRATIC in
+    len(ids) — every caller must cap (or split by) list size first;
+    per-group memory is then bounded by cap²/2 structs."""
+    ids = F.col(ids) if isinstance(ids, str) else ids
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias(n1), y.alias(n2)),
+            ),
+        )
+    )

@@ -92,6 +92,18 @@ def _write_pages(
     return records, total
 
 
+def _write_index(out_root: str, index: dict) -> None:
+    """Commit the catalog ATOMICALLY LAST (tmp + os.replace): a reader
+    always sees either the complete new index or the previous one — the
+    same ordering rule as the lakehouse snapshot pointer. Both
+    publishers share this so the commit protocol can't drift."""
+    os.makedirs(os.path.join(out_root, "index"), exist_ok=True)
+    tmp = os.path.join(out_root, "index", "latest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(index, f, indent=1)
+    os.replace(tmp, os.path.join(out_root, "index", "latest.json"))
+
+
 def publish_gold_artifacts(
     spark: SparkSession,
     sf_dir: str,
@@ -129,11 +141,7 @@ def publish_gold_artifacts(
         "datasets": datasets,
         "artifacts": artifacts,
     }
-    os.makedirs(os.path.join(out_root, "index"), exist_ok=True)
-    tmp = os.path.join(out_root, "index", "latest.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(index, f, indent=1)
-    os.replace(tmp, os.path.join(out_root, "index", "latest.json"))
+    _write_index(out_root, index)
     return index
 
 
@@ -182,9 +190,5 @@ def publish_table_artifacts(
         "datasets": datasets,
         "artifacts": artifacts,
     }
-    os.makedirs(os.path.join(out_root, "index"), exist_ok=True)
-    tmp = os.path.join(out_root, "index", "latest.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(index, f, indent=1)
-    os.replace(tmp, os.path.join(out_root, "index", "latest.json"))
+    _write_index(out_root, index)
     return index

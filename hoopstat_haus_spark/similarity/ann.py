@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hoopstat_haus_spark.operators.common import load
+from hoopstat_haus_spark.operators.common import load, sorted_ids_pairs
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -297,8 +297,9 @@ def plan_lsh_bands(
 
     r·b is capped at ``max_planes`` (signature cost is r·b dot products
     per row). The default budget of 4096 does NOT bind anywhere in the
-    planner's range: the worst case (r capped at 24, i.e. N ≥ ~2e8, at
-    the default 0.93/1e-3 targets) needs r·b = 24·144 = 3456 planes —
+    planner's range: the worst case (r capped at 24 — with bg_agree
+    0.60 the cap binds from N ≈ 1.4e7 — at the default 0.93/1e-3
+    targets) needs r·b = 24·143 = 3432 planes —
     that signature cost is the honest price of 1e-3 miss probability at
     scale, not overhead to be trimmed. Callers wanting cheaper
     signatures pass a lower ``max_planes`` explicitly and accept the
@@ -309,6 +310,15 @@ def plan_lsh_bands(
     import math
     import warnings
 
+    if not 0.0 < bg_agree < 1.0:
+        raise ValueError(
+            f"bg_agree must be in (0, 1), got {bg_agree}: 1.0 makes the "
+            "granularity rule divide by log(1)=0 and values above 1 "
+            "silently clamp r to the minimum (the exact under-bucketing "
+            "collapse the planner exists to prevent)"
+        )
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"cosine threshold must be in (0, 1), got {threshold}")
     r = max(
         4,
         min(
@@ -337,14 +347,10 @@ def plan_lsh_bands(
     return r, b
 
 
-def lsh_banded_groups(
+def _banded_rows(
     emb: DataFrame, n_planes: int, n_bands: int, dim: int = 64
 ) -> DataFrame:
-    """(band, bucket, sorted ids) — ONE signature computation and ONE
-    shuffle; both the drop-stats accounting and candidate-pair
-    generation derive from this frame, so callers that need both (the
-    production near-dup path) compute the r·b-plane signature once, not
-    once per diagnostic."""
+    """(vec_id, band, bucket) — one signature computation, pre-shuffle."""
     rows_per_band = n_planes // n_bands
     if n_planes >= _SIG_UDF_MIN_PLANES:
         # wide adaptive plan: one Arrow-batched GEMM per batch — the
@@ -372,7 +378,22 @@ def lsh_banded_groups(
             )
         ).alias("bb"),
     ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    return banded.groupBy("band", "bucket").agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+    return banded
+
+
+def lsh_banded_groups(
+    emb: DataFrame, n_planes: int, n_bands: int, dim: int = 64
+) -> DataFrame:
+    """(band, bucket, sorted ids) — ONE signature computation and ONE
+    shuffle; both the drop-stats accounting and candidate-pair
+    generation derive from this frame, so callers that need both (the
+    production near-dup path) compute the r·b-plane signature once, not
+    once per diagnostic."""
+    return (
+        _banded_rows(emb, n_planes, n_bands, dim)
+        .groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+    )
 
 
 def drop_stats_from_groups(groups: DataFrame, max_bucket: int = 64) -> DataFrame:
@@ -384,7 +405,11 @@ def drop_stats_from_groups(groups: DataFrame, max_bucket: int = 64) -> DataFrame
     instead of missing recall quietly (a bucket over the cap
     discriminates nothing — but the rows in it still deserve to be
     counted as uncovered)."""
-    per_bucket = groups.select(F.size("ids").alias("n"))
+    return _drop_stats(groups.select(F.size("ids").alias("n")), max_bucket)
+
+
+def _drop_stats(per_bucket: DataFrame, max_bucket: int) -> DataFrame:
+    """The one-row accounting over a (n: bucket size) frame."""
     return per_bucket.agg(
         F.count(F.lit(1)).alias("n_buckets"),
         F.sum(F.when(F.col("n") > max_bucket, 1).otherwise(0)).cast("long").alias("n_dropped_buckets"),
@@ -402,19 +427,7 @@ def pairs_from_groups(groups: DataFrame, max_bucket: int = 64) -> DataFrame:
     self-join quadratic) and explode pairs from each surviving id list;
     no bucket can contribute more than max_bucket²/2 pairs."""
     kept = groups.filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
-    pairs = kept.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                        lambda y: F.struct(x.alias("id1"), y.alias("id2")),
-                    ),
-                )
-            )
-        ).alias("p")
-    )
+    pairs = kept.select(F.explode(sorted_ids_pairs("ids", "id1", "id2")).alias("p"))
     return pairs.select(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2")).distinct()
 
 
@@ -426,9 +439,17 @@ def lsh_bucket_drop_stats(
     dim: int = 64,
 ) -> DataFrame:
     """Standalone drop accounting (see :func:`drop_stats_from_groups`).
-    Computes its own banded groups; callers that ALSO need candidate
-    pairs should build :func:`lsh_banded_groups` once and derive both."""
-    return drop_stats_from_groups(lsh_banded_groups(emb, n_planes, n_bands, dim), max_bucket)
+    Aggregates COUNTS per bucket only — no collect_list: a pathological
+    over-cap bucket (the exact thing this diagnostic detects) would
+    otherwise cost an O(bucket) agg buffer + sort in a pass whose whole
+    output is four scalars. Callers that ALSO need candidate pairs
+    should build :func:`lsh_banded_groups` once and derive both."""
+    per_bucket = (
+        _banded_rows(emb, n_planes, n_bands, dim)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return _drop_stats(per_bucket.select("n"), max_bucket)
 
 
 def lsh_candidate_pairs(

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hoopstat_haus_spark.operators.common import load
+from hoopstat_haus_spark.operators.common import load, sorted_ids_pairs
 
 N_HASHES = 16
 N_BANDS = 8
@@ -130,19 +130,7 @@ def _pair_jaccard(docs: DataFrame, hot_cap: int = 1024) -> DataFrame:
     )
     cold_pairs = (
         groups.filter(F.size("ids") <= hot_cap)
-        .select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda x, i: F.transform(
-                            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                            lambda y: F.struct(x.alias("doc1"), y.alias("doc2")),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
+        .select(F.explode(sorted_ids_pairs("ids", "doc1", "doc2")).alias("p"))
         .select(F.col("p.doc1").alias("doc1"), F.col("p.doc2").alias("doc2"))
     )
     hot_sh = groups.filter(F.size("ids") > hot_cap).select(
@@ -241,19 +229,7 @@ def minhash_lsh_candidates(docs_with_shingles: DataFrame, max_bucket: int = 64) 
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-    pairs = groups.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                        lambda y: F.struct(x.alias("doc1"), y.alias("doc2")),
-                    ),
-                )
-            )
-        ).alias("p")
-    )
+    pairs = groups.select(F.explode(sorted_ids_pairs("ids", "doc1", "doc2")).alias("p"))
     return pairs.select(F.col("p.doc1").alias("doc1"), F.col("p.doc2").alias("doc2")).distinct()
 
 
@@ -341,19 +317,7 @@ def dedup_simhash(
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
     cand = (
-        groups.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda x, i: F.transform(
-                            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                            lambda y: F.struct(x.alias("doc1"), y.alias("doc2")),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
+        groups.select(F.explode(sorted_ids_pairs("ids", "doc1", "doc2")).alias("p"))
         .select(F.col("p.doc1").alias("doc1"), F.col("p.doc2").alias("doc2"))
         .distinct()
     )

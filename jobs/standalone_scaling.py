@@ -121,8 +121,8 @@ def main() -> None:
         "--pin",
         action="store_true",
         help="taskset-pin each worker JVM to a disjoint core set "
-        "(worker i gets cores [i*W, (i+1)*W) for W advertised cores) — "
-        "isolates scheduler effects from DRAM contention",
+        "(worker i=1..N gets cores [(i-1)*W, i*W) for W advertised "
+        "cores) — isolates scheduler effects from DRAM contention",
     )
     args = ap.parse_args()
     assert args.hi % args.lo == 0

@@ -217,6 +217,14 @@ def test_plan_lsh_bands_fixture_and_scale():
         assert any("plane budget" in str(x.message) for x in w)
     with pytest.raises(ValueError, match="plane budget"):
         plan_lsh_bands(10**9, threshold=0.93, max_planes=512, strict=True)
+    # degenerate inputs fail loudly, not with a clamped-r recall hole:
+    # bg_agree=1.0 divides by log(1)=0, >1 silently clamps r to the
+    # minimum (the exact under-bucketing the planner exists to prevent)
+    for bad in (0.0, 1.0, 1.2):
+        with pytest.raises(ValueError, match="bg_agree"):
+            plan_lsh_bands(53_000, bg_agree=bad)
+    with pytest.raises(ValueError, match="threshold"):
+        plan_lsh_bands(53_000, threshold=1.0)
 
 
 def test_lsh_bucket_drop_stats_flags_hot_cluster(spark):
