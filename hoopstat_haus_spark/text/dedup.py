@@ -6,8 +6,9 @@ Scale notes (the reason each exists):
   doc_id) pairs — never the payload. At 100 TB the digest shuffle is
   ~50 B/row.
 - **ngram-jaccard**: exact pairwise similarity via an inverted index
-  (explode distinct shingles → self-join on shingle). Quadratic in the
-  worst case — correct baseline, not the scale path.
+  (explode distinct shingles → posting lists → pairs per list; a
+  streaming self-join only for over-cap hot lists). Quadratic OUTPUT
+  in the worst case — correct baseline, not the scale path.
 - **minhash-lsh**: the scale path. Signatures are computed with nested
   higher-order functions (JVM-side xxhash64 — no Python), banded, and
   candidates are found by a band-bucket join, so cost is ~linear in
