@@ -13,6 +13,13 @@ from pyspark.sql import functions as F
 
 from hoopstat_haus_spark.operators.common import load, round_stable
 
+# Gopher-style filter thresholds (Rae et al. 2021 use 50 words / 3-10
+# chars / repetition caps on web text; scaled here to the synthetic
+# corpus' 10-99-word docs so the flag splits rather than rubber-stamps).
+GOPHER_MIN_WORDS = 20
+GOPHER_MIN_DISTINCT = 0.4
+GOPHER_MAX_DUP_BIGRAM = 0.05
+
 _STOPWORDS = {
     "en": ["the", "and", "of", "to", "a"],
     "de": ["der", "die", "und", "ist", "das"],
@@ -71,19 +78,68 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.lower(F.regexp_replace(text, r"[^A-Za-z0-9]", "")))
 
 
+def _word_array(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def distinct_word_ratio(text: Column) -> Column:
+    """Gopher-style repetition signal: |distinct words| / |words|.
+    Heavily repeated boilerplate scores low; empty text scores 0."""
+    w = _word_array(text)
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0.0)).otherwise(
+        round_stable(F.size(F.array_distinct(w)) / F.size(w), 6)
+    )
+
+
+def dup_bigram_frac(text: Column) -> Column:
+    """Fraction of word bigrams that are repeats of an earlier bigram
+    (C4/Gopher duplicate-n-gram filter, n=2). <2 words → 0."""
+    w = _word_array(text)
+    n = F.size(w)
+    bigrams = F.zip_with(
+        F.slice(w, F.lit(1), n - 1), F.slice(w, F.lit(2), n - 1), lambda a, b: F.concat_ws(" ", a, b)
+    )
+    return F.when((F.length(F.trim(text)) == 0) | (n < 2), F.lit(0.0)).otherwise(
+        round_stable(F.lit(1.0) - F.size(F.array_distinct(bigrams)) / (n - 1), 6)
+    )
+
+
+def mean_word_len(text: Column) -> Column:
+    """Mean characters per whitespace-token (Gopher gates on 3–10 for
+    natural language; code/gibberish drifts outside)."""
+    chars = F.length(F.regexp_replace(text, r"\s", ""))
+    w = word_count(text)
+    return F.when(w == 0, F.lit(0.0)).otherwise(round_stable(chars / w, 6))
+
+
 def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    return (
-        d.select(
-            "doc_id",
-            word_count(F.col("text")).alias("n_words"),
-            bpe_ish_token_count(F.col("text")).alias("n_tokens"),
-            lang_guess(F.col("text")).alias("lang_guess"),
-            quality_score(F.col("text")).alias("quality"),
-            fingerprint(F.col("text")).alias("fp"),
-        )
-        .orderBy("doc_id")
+    base = d.select(
+        "doc_id",
+        word_count(F.col("text")).alias("n_words"),
+        bpe_ish_token_count(F.col("text")).alias("n_tokens"),
+        lang_guess(F.col("text")).alias("lang_guess"),
+        quality_score(F.col("text")).alias("quality"),
+        fingerprint(F.col("text")).alias("fp"),
+        distinct_word_ratio(F.col("text")).alias("distinct_word_ratio"),
+        dup_bigram_frac(F.col("text")).alias("dup_bigram_frac"),
+        mean_word_len(F.col("text")).alias("mean_word_len"),
     )
+    # Flag derives from the ROUNDED metric columns (second select — a
+    # same-select reference would hit Spark 4's lateral-alias shadowing)
+    # so both engines threshold identical 6-decimal values.
+    return base.select(
+        "*",
+        (
+            (F.col("n_words") >= GOPHER_MIN_WORDS)
+            & (F.col("mean_word_len") >= 2.0)
+            & (F.col("mean_word_len") <= 12.0)
+            & (F.col("distinct_word_ratio") >= GOPHER_MIN_DISTINCT)
+            & (F.col("dup_bigram_frac") <= GOPHER_MAX_DUP_BIGRAM)
+        )
+        .cast("int")
+        .alias("gopher_pass"),
+    ).orderBy("doc_id")
 
 
 def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -127,15 +183,44 @@ _LANG_SQL = f"""CASE
     WHEN {_votes_sql("fr")} = GREATEST({_votes_sql("en")}, {_votes_sql("de")}, {_votes_sql("fr")}, {_votes_sql("es")}) THEN 'fr'
     ELSE 'es' END"""
 
+# Word-array repetition metrics. DuckDB's RE2 has no backreferences, so
+# everything goes through list ops (mirroring Spark's array functions);
+# range(1, len) is end-exclusive and DuckDB lists are 1-indexed, so the
+# bigram list matches zip_with(slice(w,1,n-1), slice(w,2,n-1), ...).
+_WARR_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+_DWR_SQL = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0.0 "
+    f"ELSE ROUND(len(list_distinct({_WARR_SQL})) * 1.0 / len({_WARR_SQL}) + 1e-9, 6) END"
+)
+_BIGRAMS_SQL = f"list_transform(range(1, len({_WARR_SQL})), i -> {_WARR_SQL}[i] || ' ' || {_WARR_SQL}[i+1])"
+_DBF_SQL = (
+    f"CASE WHEN length(trim(text)) = 0 OR len({_WARR_SQL}) < 2 THEN 0.0 "
+    f"ELSE ROUND(1.0 - len(list_distinct({_BIGRAMS_SQL})) * 1.0 / (len({_WARR_SQL}) - 1) + 1e-9, 6) END"
+)
+_MWL_SQL = (
+    f"CASE WHEN {_WORDS_SQL} = 0 THEN 0.0 "
+    f"ELSE ROUND(length(regexp_replace(text, '\\s', '', 'g')) * 1.0 / {_WORDS_SQL} + 1e-9, 6) END"
+)
+
 ORACLE = {
     "text_doc_profile": f"""
-        SELECT doc_id,
+        SELECT *,
+               CAST(n_words >= {GOPHER_MIN_WORDS}
+                    AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+                    AND distinct_word_ratio >= {GOPHER_MIN_DISTINCT}
+                    AND dup_bigram_frac <= {GOPHER_MAX_DUP_BIGRAM} AS INTEGER) AS gopher_pass
+        FROM (
+          SELECT doc_id,
                {_WORDS_SQL} AS n_words,
                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^\\sA-Za-z0-9]')) AS n_tokens,
                {_LANG_SQL} AS lang_guess,
                {_QUALITY_SQL} AS quality,
-               md5(lower(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))) AS fp
-        FROM documents ORDER BY doc_id
+               md5(lower(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))) AS fp,
+               {_DWR_SQL} AS distinct_word_ratio,
+               {_DBF_SQL} AS dup_bigram_frac,
+               {_MWL_SQL} AS mean_word_len
+          FROM documents
+        ) ORDER BY doc_id
     """,
     "text_source_quality_rollup": f"""
         SELECT source, COUNT(*) AS n_docs,
