@@ -51,7 +51,11 @@ def normalize_name(name: Column) -> Column:
 
 
 def lineitem_exprs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+    # Sort the INPUT, project after: a global orderBy's range-sampling job
+    # re-executes its child in full, so sorting after the projection would
+    # compute every expression twice (the sampler re-runs only the
+    # columnar scan this way; deterministic projections preserve order).
+    li = load(spark, sf_dir, "lineitem").orderBy("l_orderkey", "l_linenumber")
     qty = F.col("l_quantity")
     price = F.col("l_extendedprice")
     mmss = F.format_string("%d:%02d", qty.cast("int"), (F.col("l_linenumber") * 7) % 60)
@@ -66,12 +70,13 @@ def lineitem_exprs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(qty.cast("int"), F.lit(0)).alias("qty_int"),
             F.md5(F.concat_ws("/", F.col("l_orderkey"), F.col("l_linenumber"))).alias("row_key"),
         )
-        .orderBy("orderkey", "linenumber")
     )
 
 
 def part_text_exprs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = load(spark, sf_dir, "part")
+    # Input-first sort: see lineitem_exprs — keeps the range-sampler off
+    # the expression work.
+    p = load(spark, sf_dir, "part").orderBy("p_partkey")
     seg = F.col("p_type")
     return (
         p.select(
@@ -90,7 +95,6 @@ def part_text_exprs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "price_per_size"
             ),
         )
-        .orderBy("partkey")
     )
 
 
