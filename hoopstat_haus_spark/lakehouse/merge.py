@@ -77,6 +77,7 @@ def merge_into(
     updates: DataFrame,
     job_id: str | None = None,
     curve: str = "zorder",
+    summary_extra: dict | None = None,
 ) -> tuple[Snapshot, JobMetrics]:
     """Upsert/delete ``updates`` (doc_id, tokens, n_tok, source[, _op])
     into the table; returns the new snapshot + job metrics.
@@ -86,11 +87,15 @@ def merge_into(
     would silently duplicate matched target rows and break the
     one-token-array-per-doc_id invariant. Callers with legitimately
     duplicated feeds (e.g. quarantine replay across batches) must dedupe
-    deterministically first."""
+    deterministically first.
+
+    ``summary_extra`` fields are merged into the commit's snapshot
+    summary (e.g. the streaming ingest stamps ``stream_id`` /
+    ``stream_batch_id`` there for replay idempotence)."""
     job_id = job_id or f"merge-{uuid.uuid4().hex[:10]}"
     metrics = JobMetrics(job=job_id)
     try:
-        return _merge_run(table, updates, job_id, curve, metrics)
+        return _merge_run(table, updates, job_id, curve, metrics, summary_extra)
     except Exception as exc:
         # failed merges must reach the health rollup (DEGRADED/OUTAGE are
         # unreachable if only successes ever record)
@@ -110,6 +115,7 @@ def _merge_run(
     job_id: str,
     curve: str,
     metrics: JobMetrics,
+    summary_extra: dict | None = None,
 ) -> tuple[Snapshot, JobMetrics]:
     spark = table.spark
     ckpt = JobCheckpoint(table.path, job_id)
@@ -142,13 +148,17 @@ def _merge_run(
     updates = updates.select(*proj, F.col(OP_COL)).persist()
     try:
         return _merge_apply(
-            table, updates, job_id, curve, metrics, ckpt, head, records, schema, value_cols
+            table, updates, job_id, curve, metrics, ckpt, head, records, schema, value_cols,
+            summary_extra,
         )
     finally:
         updates.unpersist()
 
 
-def _merge_apply(table, updates, job_id, curve, metrics, ckpt, head, records, schema, value_cols):
+def _merge_apply(
+    table, updates, job_id, curve, metrics, ckpt, head, records, schema, value_cols,
+    summary_extra=None,
+):
     spark = table.spark
     # ONE materializing aggregate: populates the persisted cache, probes
     # for duplicate keys (max per-key count), yields the feed row count,
@@ -298,6 +308,7 @@ def _merge_apply(table, updates, job_id, curve, metrics, ckpt, head, records, sc
             "new_files": len(fresh),
             "rows": mf.summary_from_records(new_records)["rows"],
             "schema_version": schema.version,
+            **(summary_extra or {}),
         },
         expected_parent=head.snapshot_id,
     )

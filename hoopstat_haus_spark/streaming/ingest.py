@@ -1,0 +1,141 @@
+"""Structured Streaming ingest into the token lakehouse.
+
+``readStream`` over a parquet feed directory → ``foreachBatch`` →
+deterministic in-batch dedupe → optional anti-join dedupe against the
+corpus → ``merge_into``, with EXACTLY-ONCE table effects.
+
+Exactly-once: Structured Streaming's checkpoint replays a failed micro
+batch under the SAME ``batch_id``, so sinks must be idempotent per
+batch. Every merge commit here stamps ``stream_id``/``stream_batch_id``
+into the snapshot summary; a replayed batch whose id is ≤ the highest
+committed id for this stream is skipped before any Spark job runs. The
+snapshot log is the source of truth, so the guarantee survives loss of
+everything except the table itself. (Reference analog: the bronze
+ingestion's idempotency head-check before overwrite,
+``libs/hoopstat-s3/hoopstat_s3/silver_s3_manager.py:255-272`` — one
+marker per completed unit, check before write.)
+
+Scale notes (100 TB): feed discovery/state is Spark's file-source
+checkpoint (driver-side listing of NEW files only); ``dedupe='key'``
+anti-joins the batch against a column-pruned (doc_id, source) corpus
+scan — at large corpus sizes the scan is skinny but still O(corpus),
+so the batch side is broadcast when small and the scan prunes to the
+feed's partitions first via the same shard-level pruning ``scan`` always
+applies. ``dedupe='content'`` compares ``token_sig`` and therefore must
+read token payloads — documented full-scan path; the scale answer is
+persisting a digest column/index at write time (schema evolution
+supports adding it) and anti-joining that instead.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hoopstat_haus_spark.lakehouse.merge import merge_into
+from hoopstat_haus_spark.lakehouse.table import TokenLakeTable
+from hoopstat_haus_spark.tables.token_table import token_sig
+
+SUMMARY_STREAM_ID = "stream_id"
+SUMMARY_BATCH_ID = "stream_batch_id"
+
+
+def last_committed_batch(table: TokenLakeTable, stream_id: str) -> int:
+    """Highest ``stream_batch_id`` any snapshot records for ``stream_id``
+    (−1 if none). Walks the snapshot log's JSON records — metadata-scale,
+    no Spark job."""
+    best = -1
+    for sid in table.log.list_ids():
+        s = table.log.get(sid).summary
+        if s.get(SUMMARY_STREAM_ID) == stream_id:
+            best = max(best, int(s.get(SUMMARY_BATCH_ID, -1)))
+    return best
+
+
+def dedupe_batch(batch: DataFrame) -> DataFrame:
+    """Deterministic in-batch dedupe on the merge key (doc_id, source):
+    keep the row with the largest (n_tok, token_sig) — an arbitrary but
+    stable total order, so replays and retries pick the same survivor
+    (``merge_into`` rejects duplicate keys outright)."""
+    w = Window.partitionBy("doc_id", "source").orderBy(
+        F.col("n_tok").desc(), token_sig(F.col("tokens")).desc()
+    )
+    return (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _anti_corpus(batch: DataFrame, table: TokenLakeTable, mode: str) -> DataFrame:
+    if mode == "key":
+        existing = table.scan().select("doc_id", "source")
+        return batch.join(existing, ["doc_id", "source"], "left_anti")
+    if mode == "content":
+        existing = table.scan().select(token_sig(F.col("tokens")).alias("_sig")).distinct()
+        return (
+            batch.withColumn("_sig", token_sig(F.col("tokens")))
+            .join(existing, "_sig", "left_anti")
+            .drop("_sig")
+        )
+    raise ValueError(f"dedupe mode {mode!r} (expected 'key', 'content', or None)")
+
+
+def make_batch_processor(
+    table: TokenLakeTable,
+    stream_id: str,
+    dedupe: str | None = "key",
+) -> Callable[[DataFrame, int], None]:
+    """The ``foreachBatch`` function — exposed separately so tests can
+    drive replay semantics without a running stream."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch_id <= last_committed_batch(table, stream_id):
+            return  # replayed micro-batch: already merged, skip entirely
+        updates = dedupe_batch(batch.select("doc_id", "tokens", "n_tok", "source"))
+        if dedupe:
+            updates = _anti_corpus(updates, table, dedupe)
+        # rows survive post-dedupe? one cheap probe; an all-duplicate batch
+        # commits nothing (replay of a no-op batch is naturally a no-op)
+        if updates.isEmpty():
+            return
+        merge_into(
+            table,
+            updates,
+            job_id=f"{stream_id}-b{batch_id}",
+            summary_extra={SUMMARY_STREAM_ID: stream_id, SUMMARY_BATCH_ID: batch_id},
+        )
+
+    return process
+
+
+def stream_ingest(
+    spark: SparkSession,
+    table: TokenLakeTable,
+    feed_dir: str,
+    checkpoint_dir: str,
+    stream_id: str = "ingest",
+    dedupe: str | None = "key",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Process every parquet file currently in ``feed_dir`` that this
+    checkpoint has not seen, as one-or-more exactly-once micro-batch
+    merges, then stop (``Trigger.AvailableNow``). Re-running with the
+    same ``checkpoint_dir`` picks up only NEW files — incremental
+    ingestion as a cron job; a long-lived service would swap the trigger
+    for a processing-time one, nothing else changes."""
+    reader = (
+        spark.readStream.schema(table.schema_def().ddl())
+        .option("maxFilesPerTrigger", max_files_per_trigger or 1000)
+        .parquet(feed_dir)
+    )
+    q = (
+        reader.writeStream.foreachBatch(make_batch_processor(table, stream_id, dedupe))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

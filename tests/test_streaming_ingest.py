@@ -1,0 +1,118 @@
+"""Structured Streaming ingest: exactly-once merges, checkpointed
+incremental file discovery, in-batch + against-corpus dedupe."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from hoopstat_haus_spark.lakehouse import TokenLakeTable
+from hoopstat_haus_spark.streaming.ingest import (
+    dedupe_batch,
+    last_committed_batch,
+    make_batch_processor,
+    stream_ingest,
+)
+from hoopstat_haus_spark.tables import synthetic, token_sig
+
+
+def _sigs(t):
+    return sorted(
+        tuple(r)
+        for r in t.scan().select("doc_id", token_sig("tokens").alias("s")).collect()
+    )
+
+
+def _drop_feed_file(df, feed, name):
+    """File-stream sources don't walk non-partition subdirs: land the
+    batch as a single flat parquet file in the feed root."""
+    tmp = os.path.join(feed, f"_stage_{name}")
+    df.coalesce(1).write.parquet(tmp)
+    part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+    os.replace(os.path.join(tmp, part), os.path.join(feed, f"{name}.parquet"))
+    shutil.rmtree(tmp)
+
+
+@pytest.fixture()
+def env(spark, tmp_path):
+    base = str(tmp_path)
+    t = TokenLakeTable.create(
+        spark, os.path.join(base, "table"), synthetic(spark, 3000), repartition_n=4
+    )
+    feed = os.path.join(base, "feed")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(feed)
+    yield spark, t, feed, ckpt
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_ingest_exactly_once_and_incremental(env):
+    spark, t, feed, ckpt = env
+    # batch 1: 100 new docs + 50 overlapping the corpus (same key)
+    _drop_feed_file(
+        synthetic(spark, 3100).filter(F.col("doc_id") >= "doc-0000002950"), feed, "b1"
+    )
+    stream_ingest(spark, t, feed, ckpt, stream_id="s1")
+
+    expected = sorted(
+        tuple(r)
+        for r in synthetic(spark, 3100).select("doc_id", token_sig("tokens").alias("s")).collect()
+    )
+    assert _sigs(t) == expected
+    after_b1 = t.log.current_id()
+    assert last_committed_batch(t, "s1") == 0
+
+    # re-run with NO new files: checkpoint sees nothing, no new snapshot
+    stream_ingest(spark, t, feed, ckpt, stream_id="s1")
+    assert t.log.current_id() == after_b1
+
+    # batch 2: only new docs; re-run picks up just the new file
+    _drop_feed_file(
+        synthetic(spark, 3200).filter(F.col("doc_id") >= "doc-0000003100"), feed, "b2"
+    )
+    stream_ingest(spark, t, feed, ckpt, stream_id="s1")
+    assert t.scan().count() == 3200
+    assert last_committed_batch(t, "s1") >= 1
+
+
+def test_replayed_batch_is_skipped(env):
+    spark, t, feed, ckpt = env
+    proc = make_batch_processor(t, "s1")
+    fresh = synthetic(spark, 3050).filter(F.col("doc_id") >= "doc-0000003000")
+    proc(fresh, 7)
+    sid = t.log.current_id()
+    assert t.scan().count() == 3050
+    # replay of the SAME batch id (post-failure re-delivery): no commit
+    proc(fresh, 7)
+    # and an older id than the high-water mark is skipped too
+    proc(fresh, 3)
+    assert t.log.current_id() == sid
+    # a NEW id with an all-duplicate payload commits nothing either
+    proc(fresh, 8)
+    assert t.log.current_id() == sid
+
+
+def test_in_batch_dedupe_is_deterministic(spark):
+    base = synthetic(spark, 10)
+    # conflicting duplicate: same (doc_id, source), larger n_tok wins
+    bigger = base.limit(1).withColumn("n_tok", F.col("n_tok") + 1000)
+    out = dedupe_batch(base.unionByName(bigger))
+    assert out.count() == 10
+    assert out.filter(F.col("n_tok") > 1000).count() == 1
+
+
+def test_content_dedupe_drops_rekeyed_copies(env):
+    spark, t, feed, ckpt = env
+    # same token payload as an existing doc, new key: content mode drops it
+    copy = (
+        t.scan()
+        .limit(1)
+        .withColumn("doc_id", F.lit("doc-9999999999"))
+        .select("doc_id", "tokens", "n_tok", "source")
+    )
+    new = synthetic(spark, 3010).filter(F.col("doc_id") >= "doc-0000003000")
+    proc = make_batch_processor(t, "s2", dedupe="content")
+    proc(new.unionByName(copy), 0)
+    assert t.scan().count() == 3010
+    assert t.scan().filter(F.col("doc_id") == "doc-9999999999").count() == 0
