@@ -12,6 +12,10 @@ Subcommands:
               --since-snapshot N compacts only partitions changed since
               that snapshot, --sources a,b restricts to named partitions)
     merge     MERGE INTO from an updates parquet path
+    ingest    Structured Streaming ingest of a parquet feed directory
+              (Trigger.AvailableNow; exactly-once via snapshot-stamped
+              stream batch ids — re-run on a schedule for incremental
+              pickup of new feed files)
     expire    snapshot expiry + reachability GC
     evolve    add columns to the table schema (metadata-only)
     stats     print current snapshot summary + per-partition manifest rollup
@@ -72,6 +76,18 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--table", required=True)
     m.add_argument("--updates", required=True, help="parquet path with (doc_id, tokens, n_tok, source[, _op])")
     m.add_argument("--job-id", default=None)
+
+    ing = sub.add_parser("ingest")
+    ing.add_argument("--table", required=True)
+    ing.add_argument("--feed", required=True, help="parquet feed directory (flat files)")
+    ing.add_argument("--checkpoint", required=True, help="stream checkpoint dir (file-discovery state)")
+    ing.add_argument("--stream-id", default="ingest", help="idempotence key in snapshot summaries")
+    ing.add_argument(
+        "--dedupe",
+        choices=["key", "content", "none"],
+        default="key",
+        help="anti-join new rows against the corpus by merge key or token content",
+    )
 
     e = sub.add_parser("expire")
     e.add_argument("--table", required=True)
@@ -178,6 +194,26 @@ def _dispatch(args, spark) -> dict:
         out = metrics.to_dict()
         out["snapshot"] = snap.snapshot_id
         return out
+    if args.cmd == "ingest":
+        from hoopstat_haus_spark.streaming.ingest import last_committed_batch, stream_ingest
+
+        before = table.log.current_id()
+        stream_ingest(
+            spark,
+            table,
+            args.feed,
+            args.checkpoint,
+            stream_id=args.stream_id,
+            dedupe=None if args.dedupe == "none" else args.dedupe,
+        )
+        snap = table.log.current()
+        return {
+            "snapshot": snap.snapshot_id,
+            "snapshots_committed": snap.snapshot_id - (before or 0),
+            "stream_id": args.stream_id,
+            "last_stream_batch": last_committed_batch(table, args.stream_id),
+            "rows": int(snap.summary.get("rows", 0)),
+        }
     if args.cmd == "expire":
         expired = table.expire_snapshots(keep_last=args.keep_last)
         from hoopstat_haus_spark.lakehouse.gc import collect_garbage

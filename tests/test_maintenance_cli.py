@@ -94,3 +94,32 @@ def test_compact_sources_flag(spark, tmp_table_dir, capsys):
     for part in records:
         if part != target:
             assert after[part]["path"] == records[part]["path"]
+
+
+def test_ingest_subcommand_exactly_once(spark, tmp_table_dir, capsys, tmp_path):
+    import shutil
+
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 3000), repartition_n=4)
+    feed, ckpt = str(tmp_path / "feed"), str(tmp_path / "ckpt")
+    os.makedirs(feed)
+    stage = str(tmp_path / "stage")
+    synthetic(spark, 3200).filter(F.col("doc_id") >= "doc-0000003000").coalesce(1).write.parquet(stage)
+    part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+    os.replace(os.path.join(stage, part), os.path.join(feed, "b1.parquet"))
+    shutil.rmtree(stage)
+
+    out = _run(
+        capsys, "ingest", "--table", t.path, "--feed", feed, "--checkpoint", ckpt,
+        "--stream-id", "cli",
+    )
+    assert out["snapshots_committed"] == 1
+    assert out["last_stream_batch"] == 0
+    assert t.scan().count() == 3200
+
+    # second run, no new feed files: nothing committed
+    out2 = _run(
+        capsys, "ingest", "--table", t.path, "--feed", feed, "--checkpoint", ckpt,
+        "--stream-id", "cli",
+    )
+    assert out2["snapshots_committed"] == 0
+    assert out2["last_stream_batch"] == 0
