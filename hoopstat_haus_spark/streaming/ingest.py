@@ -45,14 +45,21 @@ SUMMARY_BATCH_ID = "stream_batch_id"
 
 def last_committed_batch(table: TokenLakeTable, stream_id: str) -> int:
     """Highest ``stream_batch_id`` any snapshot records for ``stream_id``
-    (−1 if none). Walks the snapshot log's JSON records — metadata-scale,
-    no Spark job."""
-    best = -1
-    for sid in table.log.list_ids():
+    (−1 if none). Walks the snapshot log newest-first and stops at the
+    first stamp: a stream's commits are ordered, so the newest stamp IS
+    its high-water mark — O(snapshots since the last ingest), not
+    O(history), per micro-batch.
+
+    If snapshot expiry has dropped every stamped snapshot, this returns
+    −1 and a replayed batch would merge again — which is still CORRECT:
+    re-upserting identical (doc_id, source)→tokens rows (and re-deleting
+    absent ones) is a semantic no-op; the stamp only avoids the wasted
+    work and keeps snapshot counts stable under replay."""
+    for sid in reversed(table.log.list_ids()):
         s = table.log.get(sid).summary
         if s.get(SUMMARY_STREAM_ID) == stream_id:
-            best = max(best, int(s.get(SUMMARY_BATCH_ID, -1)))
-    return best
+            return int(s.get(SUMMARY_BATCH_ID, -1))
+    return -1
 
 
 def dedupe_batch(batch: DataFrame) -> DataFrame:
