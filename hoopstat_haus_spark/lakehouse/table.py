@@ -24,10 +24,11 @@ manifests into FileScanTasks, and an order of magnitude under the shard
 metadata already resident during pruning, so it is a documented bound,
 not a defect. Every predicate (partition, stat range) prunes BEFORE the
 list is built, so only unfiltered full-table scans ever see the maximum;
-memory grows with files *selected*, never files *on disk*. If a future
-deployment outgrows it, the fix is mechanical: chunk ``paths`` into
-per-partition ``parquet()`` reads behind a ``unionByName`` (plans
-identically — Spark unions the file indices) — not needed at 10^6.
+memory grows with files *selected*, never files *on disk*. Beyond
+``SCAN_PATHS_CHUNK`` selected files, ``scan()`` switches to chunked
+``parquet()`` reads behind a ``unionByName`` — each relation's
+InMemoryFileIndex then holds one chunk's paths instead of the full list,
+and Spark unions the scans (filters/pruning push into every branch).
 """
 
 from __future__ import annotations
@@ -55,6 +56,10 @@ from hoopstat_haus_spark.lakehouse.snapshots import Snapshot, SnapshotLog
 from hoopstat_haus_spark.lakehouse.zorder import with_zkey
 
 DATA_COLUMNS = ["doc_id", "tokens", "n_tok", "source"]  # base (schema v1)
+
+# Max file paths per parquet relation in scan(); larger selections union
+# chunked reads (see the module docstring's scale-bound note).
+SCAN_PATHS_CHUNK = 100_000
 
 
 class TokenLakeTable:
@@ -232,14 +237,26 @@ class TokenLakeTable:
         if not entries:
             return self.spark.createDataFrame([], schema=schema.ddl())
         paths = [os.path.join(self.path, e["file_path"]) for e in entries]
+
         # explicit expected schema: files older than an evolved column
         # read it as NULL (then its default applies) instead of the
         # reader inferring a random file's footer on mixed-schema scans
-        df = (
-            self.spark.read.option("basePath", self.data_dir)
-            .schema(schema.ddl(extra=((mf.ZKEY_COL, "long"),)))
-            .parquet(*paths)
-        )
+        def read_chunk(chunk: list[str]) -> DataFrame:
+            return (
+                self.spark.read.option("basePath", self.data_dir)
+                .schema(schema.ddl(extra=((mf.ZKEY_COL, "long"),)))
+                .parquet(*chunk)
+            )
+
+        if len(paths) <= SCAN_PATHS_CHUNK:
+            df = read_chunk(paths)
+        else:
+            # huge selections: cap each relation's file-index size; the
+            # union of scans plans the same physical reads and every
+            # filter below pushes into each branch
+            df = read_chunk(paths[:SCAN_PATHS_CHUNK])
+            for i in range(SCAN_PATHS_CHUNK, len(paths), SCAN_PATHS_CHUNK):
+                df = df.unionByName(read_chunk(paths[i : i + SCAN_PATHS_CHUNK]))
         df = schema.apply_defaults(df)
         if n_tok_min is not None:
             df = df.filter(F.col("n_tok") >= n_tok_min)

@@ -239,3 +239,44 @@ def test_scan_physically_reads_only_pruned_files(spark, tmp_table_dir):
     assert files and all(f"source={parts[0]}/" in f for f in files), files[:3]
     rng = t.scan(n_tok_min=4000)  # above the generator's n_tok ceiling
     assert rng.inputFiles() == [] and rng.count() == 0
+
+
+def test_scan_chunks_huge_path_lists(spark, tmp_table_dir, monkeypatch):
+    """Past SCAN_PATHS_CHUNK selected files, scan() unions chunked parquet
+    reads (bounded per-relation file index) with identical results and
+    filter pushdown into every branch."""
+    import io
+    from contextlib import redirect_stdout
+
+    from hoopstat_haus_spark.lakehouse import table as table_mod
+    from hoopstat_haus_spark.tables import token_sig
+
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 2000), repartition_n=7)
+    whole = sorted(
+        tuple(r) for r in t.scan().select("doc_id", token_sig("tokens").alias("s")).collect()
+    )
+    n_files = len(t.manifest_entries())
+    assert n_files > 3
+
+    monkeypatch.setattr(table_mod, "SCAN_PATHS_CHUNK", 3)
+    chunked = t.scan()
+    got = sorted(
+        tuple(r) for r in chunked.select("doc_id", token_sig("tokens").alias("s")).collect()
+    )
+    assert got == whole
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        chunked.filter("n_tok >= 100").explain("formatted")
+    plan = buf.getvalue()
+    n_chunks = -(-n_files // 3)
+    # formatted explain names each scan twice: tree node + detail section
+    assert plan.count("Scan parquet") == 2 * n_chunks
+    # the n_tok filter reaches every branch's parquet scan
+    assert (
+        plan.count("PushedFilters: [IsNotNull(n_tok), GreaterThanOrEqual(n_tok,100)]") == n_chunks
+    )
+
+    # stat-range pruning still applies before chunking
+    pruned = t.scan(n_tok_min=100)
+    assert pruned.count() == t.scan().filter("n_tok >= 100").count()
