@@ -1,0 +1,124 @@
+"""The end-to-end training-corpus pipeline: every stage an LLM data
+build runs, composed from this engine's operators.
+
+    documents
+      → quality filter        (Gopher-style composite gate)
+      → exact dedup           (normalized-content digest, keep min doc_id)
+      → near dedup            (MinHash LSH candidates, exact-Jaccard
+                               verified, drop the greater doc of a pair)
+      → decontamination       (benchmark n-gram overlap, optional)
+      → tokenize              (closed-form generator — stands in for a
+                               real tokenizer; same expressions as
+                               ``tables.from_documents``)
+      → lakehouse ingest      (optional: CREATE or MERGE a TokenLakeTable)
+
+Scale design: one (doc_id, shingles) frame is built over the quality+
+exact-dedup SURVIVORS, localCheckpoint-materialized once, and shared by
+the two consumers that need shingles (near-dedup candidate generation /
+verification and decontamination) — the same sharing discipline
+``text/dedup.py`` applies corpus-wide. Stage survivors materialize via
+lazy localCheckpoint so each stage's work runs once even though the next
+stage and the metrics count both consume it (a production pipeline would
+persist stage outputs as tables; executor-local blocks are the batch-job
+analog). All stages are native Column expressions — the pipeline
+inherits every underlying operator's plan properties (broadcast
+benchmark, capped LSH buckets, no corpus-side wide shuffle outside the
+dedup aggregations themselves).
+
+Determinism: survivor sets depend only on content (digest min-doc-id,
+pair greater-doc-id drops, fixed thresholds), so re-runs produce
+byte-identical corpora — required for reproducible training data.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hoopstat_haus_spark.operators.common import load
+from hoopstat_haus_spark.tables.token_table import tokenize_documents
+from hoopstat_haus_spark.text.analysis import gopher_pass
+from hoopstat_haus_spark.text.decontaminate import contamination_report_from
+from hoopstat_haus_spark.text.dedup import _minhash_verified, word_shingles
+
+
+@dataclass
+class PipelineReport:
+    """Per-stage surviving-document counts (the metrics a data-pipeline
+    run logs; reference analog: the per-job performance records)."""
+
+    stages: dict = field(default_factory=dict)
+
+    def record(self, stage: str, n: int) -> None:
+        self.stages[stage] = n
+
+
+def build_training_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    benchmark: DataFrame | None = None,
+    near_dup_threshold: float = 0.6,
+    min_hits: int = 2,
+) -> tuple[DataFrame, PipelineReport]:
+    """Run the full pipeline; returns (token table of the cleaned
+    corpus, per-stage report). ``benchmark`` needs (bench_id, text)."""
+    rep = PipelineReport()
+    docs = load(spark, sf_dir, "documents")
+    rep.record("input", docs.count())
+
+    # 1. quality — native expressions, codegen, no shuffle
+    q = docs.filter(gopher_pass(F.col("text"))).localCheckpoint(eager=False)
+    rep.record("quality", q.count())
+
+    # 2. exact dedup — keep min doc_id per digest via ONE window shuffle
+    #    (a keep-set semi-join would shuffle the corpus anyway, and the
+    #    keep set is O(corpus) — not broadcastable at scale)
+    digest = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    w = Window.partitionBy(digest).orderBy("doc_id")
+    exact = (
+        q.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .localCheckpoint(eager=False)
+    )
+    rep.record("exact_dedup", exact.count())
+
+    # one shingle frame for BOTH remaining text stages
+    npart = spark.sparkContext.defaultParallelism
+    shingled = (
+        exact.repartition(npart, "doc_id")
+        .select("doc_id", word_shingles(F.col("text")).alias("shingles"))
+        .localCheckpoint(eager=False)
+    )
+
+    # 3. near dedup — verified pairs emit doc1 < doc2; drop every doc
+    #    that has a verified near-duplicate with a SMALLER id (greedy
+    #    keep-first). Docs that were never measured similar both stay,
+    #    even when a shared neighbor links them transitively — the
+    #    threshold, not the link graph, defines "duplicate" here.
+    pairs = _minhash_verified(shingled, near_dup_threshold)
+    drop = pairs.select(F.col("doc2").alias("doc_id")).distinct()
+    near = exact.join(F.broadcast(drop), "doc_id", "left_anti").localCheckpoint(eager=False)
+    rep.record("near_dedup", near.count())
+
+    survivors = near
+    if benchmark is not None:
+        # 4. decontamination — over the SAME shingle frame, restricted
+        #    to still-surviving docs
+        flagged = contamination_report_from(
+            shingled.join(F.broadcast(near.select("doc_id")), "doc_id", "left_semi"),
+            benchmark,
+            min_hits,
+        ).select("doc_id")
+        survivors = near.join(F.broadcast(flagged), "doc_id", "left_anti").localCheckpoint(
+            eager=False
+        )
+        rep.record("decontaminated", survivors.count())
+
+    # 5. tokenize
+    tokens = tokenize_documents(survivors)
+    rep.record("tokenized", rep.stages.get("decontaminated", rep.stages["near_dedup"]))
+    return tokens, rep

@@ -79,9 +79,16 @@ def dedupe_batch(batch: DataFrame) -> DataFrame:
 
 def _anti_corpus(batch: DataFrame, table: TokenLakeTable, mode: str) -> DataFrame:
     if mode == "key":
-        existing = table.scan().select("doc_id", "source")
+        # prune the corpus scan to the feed's partitions first — the
+        # merge key includes source, so cross-partition rows can't match
+        # and the shard-level pruning in scan() skips their metadata too
+        parts = [r.source for r in batch.select("source").distinct().collect()]
+        existing = table.scan(sources=parts).select("doc_id", "source")
         return batch.join(existing, ["doc_id", "source"], "left_anti")
     if mode == "content":
+        # content identity spans partitions by definition: full (but
+        # column-pruned to `tokens`) scan; the at-scale answer is a
+        # persisted digest column/index (see module docstring)
         existing = table.scan().select(token_sig(F.col("tokens")).alias("_sig")).distinct()
         return (
             batch.withColumn("_sig", token_sig(F.col("tokens")))
@@ -102,7 +109,11 @@ def make_batch_processor(
     def process(batch: DataFrame, batch_id: int) -> None:
         if batch_id <= last_committed_batch(table, stream_id):
             return  # replayed micro-batch: already merged, skip entirely
-        updates = dedupe_batch(batch.select("doc_id", "tokens", "n_tok", "source"))
+        # live-schema intersection, not the base four: an evolved column
+        # present in the feed must reach merge_into (absent ones become
+        # NULL -> default there)
+        cols = [n for n in table.schema_def().names() if n in batch.columns]
+        updates = dedupe_batch(batch.select(*cols))
         if dedupe:
             updates = _anti_corpus(updates, table, dedupe)
         # rows survive post-dedupe? one cheap probe; an all-duplicate batch

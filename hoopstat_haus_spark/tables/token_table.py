@@ -63,24 +63,30 @@ def token_sig(tokens: Column) -> Column:
     return F.md5(F.array_join(F.transform(tokens, lambda x: x.cast("string")), ","))
 
 
-def from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic token table derived from ``{sf_dir}/documents.parquet``.
+def tokenize_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic token table from a (doc_id, n_chars, source, …)
+    documents frame — the closed-form generator over any doc subset
+    (the training-corpus pipeline tokenizes its filtered survivors with
+    the same expressions ``from_documents`` applies to the full table).
 
     n_tok = clamp(floor(n_chars / 4), 8, 512)  (≈ chars-per-token 4)
     """
     # rename the input key first: Spark's lateral-column-alias resolution
     # would otherwise bind `doc_id` inside token_expr to the NEW string alias
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        F.col("doc_id").cast("long").alias("_doc_num"), "n_chars", "source"
-    )
+    d = docs.select(F.col("doc_id").cast("long").alias("_doc_num"), "n_chars", "source")
     doc_num = F.col("_doc_num")
     n_tok = F.greatest(F.lit(8), F.least(F.lit(512), F.floor(F.col("n_chars") / F.lit(4)).cast("int")))
-    return docs.select(
+    return d.select(
         F.format_string("doc-%08d", doc_num).alias("doc_id"),
         token_expr(doc_num, n_tok).alias("tokens"),
         n_tok.cast("int").alias("n_tok"),
         F.col("source"),
     )
+
+
+def from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`tokenize_documents` over ``{sf_dir}/documents.parquet``."""
+    return tokenize_documents(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def documents_token_sql(inner: str = "documents") -> str:

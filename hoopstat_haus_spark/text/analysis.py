@@ -112,6 +112,19 @@ def mean_word_len(text: Column) -> Column:
     return F.when(w == 0, F.lit(0.0)).otherwise(round_stable(chars / w, 6))
 
 
+def gopher_pass(text: Column) -> Column:
+    """The composite Gopher-style quality gate as one boolean Column
+    (metric functions round before thresholding, so this matches the
+    ``gopher_pass`` flag ``doc_profile`` emits)."""
+    return (
+        (word_count(text) >= GOPHER_MIN_WORDS)
+        & (mean_word_len(text) >= 2.0)
+        & (mean_word_len(text) <= 12.0)
+        & (distinct_word_ratio(text) >= GOPHER_MIN_DISTINCT)
+        & (dup_bigram_frac(text) <= GOPHER_MAX_DUP_BIGRAM)
+    )
+
+
 def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Sort the INPUT, project after: a global orderBy's range-sampler
     # re-executes its child in full, so an orderBy placed after the

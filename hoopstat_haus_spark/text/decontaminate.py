@@ -38,22 +38,21 @@ def benchmark_grams(benchmark: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     )
 
 
-def contamination_report(
-    spark: SparkSession,
-    sf_dir: str,
+def contamination_report_from(
+    shingled: DataFrame,
     benchmark: DataFrame,
     min_hits: int = 2,
 ) -> DataFrame:
-    """(doc_id, n_hits, n_bench_docs) for every corpus doc sharing
-    ≥ ``min_hits`` distinct shingles with the benchmark set.
+    """(doc_id, n_hits, n_bench_docs) for every doc in a (doc_id,
+    shingles) frame sharing ≥ ``min_hits`` distinct shingles with the
+    benchmark set.
 
     Corpus shingles are per-doc distinct already, so a plain count of
     joined grams per doc IS the distinct-gram hit count against the
     deduplicated benchmark gram universe."""
     grams = benchmark_grams(benchmark).localCheckpoint(eager=False)
-    corpus = shingled_docs(spark, sf_dir)
     return (
-        corpus.select("doc_id", F.explode("shingles").alias("gram"))
+        shingled.select("doc_id", F.explode("shingles").alias("gram"))
         .join(F.broadcast(grams), "gram")
         .groupBy("doc_id")
         .agg(
@@ -62,6 +61,17 @@ def contamination_report(
         )
         .filter(F.col("n_hits") >= min_hits)
     )
+
+
+def contamination_report(
+    spark: SparkSession,
+    sf_dir: str,
+    benchmark: DataFrame,
+    min_hits: int = 2,
+) -> DataFrame:
+    """Corpus-table form: :func:`contamination_report_from` over the
+    shared materialized shingle table."""
+    return contamination_report_from(shingled_docs(spark, sf_dir), benchmark, min_hits)
 
 
 def decontaminate(
