@@ -106,10 +106,11 @@ def build_training_corpus(
 
     survivors = near
     if benchmark is not None:
-        # 4. decontamination — over the SAME shingle frame, restricted
-        #    to still-surviving docs
+        # 4. decontamination — over the SAME shingle frame, restricted to
+        #    still-surviving docs by ANTI-joining the small drop set (a
+        #    semi-join on the survivor ids would broadcast O(corpus))
         flagged = contamination_report_from(
-            shingled.join(F.broadcast(near.select("doc_id")), "doc_id", "left_semi"),
+            shingled.join(F.broadcast(drop), "doc_id", "left_anti"),
             benchmark,
             min_hits,
         ).select("doc_id")

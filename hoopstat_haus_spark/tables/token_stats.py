@@ -33,12 +33,18 @@ def token_frequencies(tokens_df: DataFrame) -> DataFrame:
 
 
 def top_tokens(tokens_df: DataFrame, k: int = 20) -> DataFrame:
-    """Top-k tokens by count, deterministic tiebreak on token id."""
-    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    """Top-k tokens by count, deterministic tiebreak on token id.
+
+    The ordering is total (token is unique after the groupBy), so the
+    top-k survives an ``orderBy().limit(k)`` pre-filter — Spark plans it
+    as TakeOrderedAndProject (per-partition heap top-k); the rank window
+    then sees k rows, never the vocabulary (same shape as
+    ``operators/windows.py::part_leaderboard``)."""
+    order = [F.desc("n"), F.asc("token")]
+    pruned = token_frequencies(tokens_df).orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
     return (
-        token_frequencies(tokens_df)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        pruned.withColumn("rank", F.row_number().over(w))
         .select("rank", "token", "n")
         .orderBy("rank")
     )

@@ -64,3 +64,13 @@ def test_frequencies_sum_to_total(spark):
     t = from_documents(spark, SF_DIR)
     total = t.select(F.sum(F.size("tokens"))).collect()[0][0]
     assert token_frequencies(t).select(F.sum("n")).collect()[0][0] == total
+
+
+def test_top_tokens_is_heap_not_global_sort(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        top_tokens(from_documents(spark, SF_DIR), 10).explain("formatted")
+    assert "TakeOrderedAndProject" in buf.getvalue()
