@@ -1,0 +1,154 @@
+"""Sequence packing: tokenized documents → fixed-length training
+sequences, the final stage of an LLM training-data build.
+
+Docs are concatenated in a deterministic order and split into
+``seq_len``-token sequences. Packing is inherently sequential, so a
+global concatenation would be a one-reducer job; the scale design is
+the standard sharded pack: each doc routes to a deterministic shard
+(closed-form multiplicative hash of its doc number — the same family
+``token_table.synthetic`` uses, so DuckDB reproduces it), packing runs
+independently per (source, shard), and each shard drops at most one
+partial tail sequence. Waste is bounded by ``n_shards · (seq_len−1)``
+tokens — at 100 TB with 4096 shards of 2048-token sequences that is
+< 32 MB, i.e. zero.
+
+Plan shape (the part that must survive 100×): ONE shuffle of the token
+payload, on (source, shard). The offset window, the boundary split
+(``explode`` over the 1–2 sequences a doc spans), and the final
+assemble-aggregation all share that clustering, so Spark reuses the
+exchange — ``tests/test_packing.py`` pins exactly one Exchange in the
+physical plan. Assembly is ``sort_array(collect_list(struct(off,
+piece)))`` + ``flatten`` per sequence: group state is seq_len tokens
+plus O(docs-per-sequence) struct overhead, bounded.
+
+Reference analog: the bronze→silver batching in
+``libs/hoopstat-data/hoopstat_data/transformation.py`` batches rows for
+load; packing is the token-level equivalent a training pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hoopstat_haus_spark.tables.token_table import _MULT
+
+_SHARD_PRIME = 982451653
+
+
+def _doc_num(col: str = "doc_id") -> Column:
+    """The numeric suffix of 'doc-%0Nd' ids — int64, ANSI-safe for the
+    id domain both generators emit (< 1e10)."""
+    return F.substring(F.col(col), 5, 12).cast("long")
+
+
+def shard_expr(n_shards: int) -> Column:
+    """Deterministic shard in [0, n_shards): multiplicative hash of the
+    doc number, reproducible in ANSI SQL (mirrored in
+    :func:`packed_sequences_sql`)."""
+    return F.pmod((_doc_num() * F.lit(_MULT)) % F.lit(_SHARD_PRIME), F.lit(n_shards))
+
+
+def pack_sequences(tokens_df: DataFrame, seq_len: int, n_shards: int = 64) -> DataFrame:
+    """Pack the token table into fixed-length sequences.
+
+    Returns (seq_id string, source, shard int, seq_idx long,
+    tokens array<int> of EXACTLY ``seq_len``, n_docs int — how many
+    documents contributed). Output is a pure function of
+    (input content, seq_len, n_shards): docs order by doc_id within
+    their shard, so re-runs and different cluster sizes produce
+    byte-identical sequences — required for reproducible training data.
+
+    Each shard's trailing partial sequence is dropped (bounded waste,
+    see module docstring); pad-to-length is a trivial variant
+    (``concat(piece, array_repeat(pad_id, ...))``) not needed here.
+
+    Size ``n_shards`` so a shard's token payload fits one task
+    comfortably (~64–256 MB); the default 64 suits test/bench scale.
+    """
+    if seq_len < 1 or n_shards < 1:
+        raise ValueError("seq_len and n_shards must be >= 1")
+    L = F.lit(seq_len)
+    d = (
+        tokens_df.filter(F.col("n_tok") > 0)  # empty docs span no sequence
+        .select("doc_id", "tokens", F.col("n_tok").cast("long").alias("n_tok"), "source")
+        .withColumn("shard", shard_expr(n_shards))
+    )
+    # one explicit shuffle on the packing keys; window + groupBy below
+    # reuse this exchange (plan-asserted)
+    d = d.repartition("source", "shard")
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("off", F.sum("n_tok").over(w) - F.col("n_tok"))
+    # a doc spans sequences floor(off/L) .. floor((off+n_tok-1)/L);
+    # explode that (usually 1-2 element) range and slice its piece
+    # integer DIV keeps the boundary math exact (no double rounding)
+    d = d.withColumn(
+        "seq_idx",
+        F.explode(
+            F.sequence(
+                F.expr(f"off DIV {seq_len}"), F.expr(f"(off + n_tok - 1) DIV {seq_len}")
+            )
+        ),
+    )
+    piece_start = F.greatest(F.col("seq_idx") * L - F.col("off"), F.lit(0))  # 0-based within doc
+    piece_end = F.least((F.col("seq_idx") + 1) * L, F.col("off") + F.col("n_tok")) - F.col("off")
+    d = d.select(
+        "source",
+        "shard",
+        "seq_idx",
+        "off",
+        F.slice("tokens", (piece_start + 1).cast("int"), (piece_end - piece_start).cast("int")).alias("piece"),
+    )
+    seqs = (
+        d.groupBy("source", "shard", "seq_idx")
+        .agg(
+            F.flatten(F.sort_array(F.collect_list(F.struct("off", "piece"))).piece).alias("tokens"),
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+        )
+        .filter(F.size("tokens") == seq_len)  # drop each shard's partial tail
+    )
+    return seqs.select(
+        F.format_string("%s-%05d-%08d", "source", "shard", "seq_idx").alias("seq_id"),
+        "source",
+        F.col("shard").cast("int").alias("shard"),
+        "seq_idx",
+        "tokens",
+        "n_docs",
+    )
+
+
+def packed_sequences_sql(seq_len: int, n_shards: int, tok_inner: str) -> str:
+    """DuckDB SQL producing the same rows as :func:`pack_sequences` over
+    the same token table (``tok_inner`` = a derived-table SQL string,
+    e.g. ``documents_token_sql()``). Used by the parity tests; splice
+    into ``SELECT ... FROM {packed_sequences_sql(...)} p``."""
+    return f"""(
+      WITH d AS (
+        SELECT doc_id, tokens, CAST(n_tok AS BIGINT) AS n_tok, source,
+               ((CAST(substring(doc_id, 5, 12) AS BIGINT) * {_MULT}) % {_SHARD_PRIME}) % {n_shards} AS shard
+        FROM {tok_inner}
+      ), o AS (
+        -- DuckDB windowed SUM(BIGINT) yields HUGEINT; pin BIGINT
+        SELECT *, CAST(SUM(n_tok) OVER (PARTITION BY source, shard ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS off
+        FROM d
+      ), pieces AS (
+        SELECT source, shard, seq_idx, off,
+               list_slice(tokens,
+                          CAST(GREATEST(seq_idx * {seq_len} - off, 0) + 1 AS BIGINT),
+                          CAST(LEAST((seq_idx + 1) * {seq_len}, off + n_tok) - off AS BIGINT)) AS piece
+        FROM o, UNNEST(range(off // {seq_len}, (off + n_tok - 1) // {seq_len} + 1)) AS t(seq_idx)
+      )
+      SELECT printf('%s-%05d-%08d', source, CAST(shard AS INT), seq_idx) AS seq_id,
+             source, CAST(shard AS INT) AS shard, seq_idx,
+             flatten(list(piece ORDER BY off)) AS tokens,
+             CAST(COUNT(*) AS INT) AS n_docs
+      FROM pieces
+      GROUP BY source, shard, seq_idx
+      HAVING len(flatten(list(piece ORDER BY off))) = {seq_len}
+    )"""

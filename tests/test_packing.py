@@ -1,0 +1,113 @@
+"""Sequence packing vs a DuckDB oracle over the same closed-form token
+table, plus the packing invariants (exact length, order preservation,
+token conservation, single-shuffle plan). The registry is capped at 50
+gates, so packing carries oracle-parity rigor locally like token_stats."""
+
+import io
+from contextlib import redirect_stdout
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from hoopstat_haus_spark.tables import from_documents
+from hoopstat_haus_spark.tables.packing import pack_sequences, packed_sequences_sql, shard_expr
+from hoopstat_haus_spark.tables.token_table import documents_token_sql, token_sig
+from tests.conftest import SF_DIR
+
+SEQ_LEN = 96
+N_SHARDS = 8
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    return con
+
+
+def test_packing_matches_duckdb(spark, duck):
+    got = {
+        r.seq_id: (r.source, r.shard, r.seq_idx, r.sig, r.n_docs)
+        for r in pack_sequences(from_documents(spark, SF_DIR), SEQ_LEN, N_SHARDS)
+        .select("seq_id", "source", "shard", "seq_idx", token_sig(F.col("tokens")).alias("sig"), "n_docs")
+        .collect()
+    }
+    inner = packed_sequences_sql(SEQ_LEN, N_SHARDS, documents_token_sql())
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4], r[5])
+        for r in duck.execute(
+            f"""SELECT seq_id, source, shard, seq_idx,
+                       md5(array_to_string(tokens, ',')) AS sig, n_docs
+                FROM {inner} p"""
+        ).fetchall()
+    }
+    assert len(got) > 50  # non-vacuous at sf0.001
+    assert got == want
+
+
+def test_packing_invariants(spark):
+    tok = from_documents(spark, SF_DIR)
+    seqs = pack_sequences(tok, SEQ_LEN, N_SHARDS)
+    rows = seqs.select(F.size("tokens").alias("sz"), "source", "shard", "n_docs").collect()
+    assert all(r.sz == SEQ_LEN for r in rows)
+    assert all(r.n_docs >= 1 for r in rows)
+    # conservation: packed + dropped-tail == corpus tokens, and each
+    # (source, shard) drops strictly less than one sequence
+    total_in = tok.select(F.sum("n_tok")).collect()[0][0]
+    per_shard_in = {
+        (r.source, r.shard): r.t
+        for r in tok.select("source", "n_tok", shard_expr(N_SHARDS).alias("shard"))
+        .groupBy("source", "shard")
+        .agg(F.sum("n_tok").alias("t"))
+        .collect()
+    }
+    per_shard_out = {
+        (r.source, r.shard): r.t
+        for r in seqs.groupBy("source", "shard").agg(F.sum(F.size("tokens")).alias("t")).collect()
+    }
+    dropped = 0
+    for key, t_in in per_shard_in.items():
+        t_out = per_shard_out.get(key, 0)
+        assert t_out == (t_in // SEQ_LEN) * SEQ_LEN  # full sequences only
+        assert 0 <= t_in - t_out < SEQ_LEN  # < one tail per shard
+        dropped += t_in - t_out
+    assert sum(per_shard_out.values()) + dropped == total_in
+
+
+def test_packing_preserves_doc_order(spark):
+    # reconstruct each shard's concatenation from the packed output and
+    # compare against concatenating docs in (source, shard, doc_id) order
+    tok = from_documents(spark, SF_DIR)
+    seqs = pack_sequences(tok, SEQ_LEN, N_SHARDS).filter(
+        (F.col("source") == "web") & (F.col("shard") == 0)
+    )
+    packed_stream = [t for r in seqs.orderBy("seq_idx").collect() for t in r.tokens]
+    docs = (
+        tok.withColumn("shard", shard_expr(N_SHARDS))
+        .filter((F.col("source") == "web") & (F.col("shard") == 0))
+        .orderBy("doc_id")
+        .collect()
+    )
+    doc_stream = [t for r in docs for t in r.tokens]
+    assert packed_stream == doc_stream[: len(packed_stream)]
+    assert len(doc_stream) - len(packed_stream) < SEQ_LEN
+
+
+def test_packing_single_shuffle_plan(spark):
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pack_sequences(from_documents(spark, SF_DIR), SEQ_LEN, N_SHARDS).explain("formatted")
+    plan = buf.getvalue()
+    # the repartition exchange is the ONLY shuffle: window and the
+    # assemble-agg reuse its (source, shard) clustering ("Exchange (n)"
+    # = one tree node; the detail section repeats it as "(n) Exchange")
+    assert plan.count("Exchange (") == 1, plan
+
+
+def test_packing_rejects_bad_params(spark):
+    tok = from_documents(spark, SF_DIR)
+    with pytest.raises(ValueError):
+        pack_sequences(tok, 0)
+    with pytest.raises(ValueError):
+        pack_sequences(tok, 128, 0)
