@@ -1,0 +1,99 @@
+"""Corpus mixing vs a DuckDB oracle replaying the same hash gate, plus
+budget adherence, determinism/monotonicity, and the no-shuffle plan."""
+
+import io
+from contextlib import redirect_stdout
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from hoopstat_haus_spark.tables import from_documents
+from hoopstat_haus_spark.tables.mixing import (
+    mixed_corpus,
+    mixed_corpus_sql,
+    mixing_report,
+    plan_mixture,
+    source_token_totals,
+)
+from hoopstat_haus_spark.tables.token_table import documents_token_sql
+from tests.conftest import SF01_DIR, SF_DIR
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    return con
+
+
+def _budgets(tok, fracs):
+    """fracs maps source INDEX (by sorted name) -> fraction; the docs
+    table's source domain (src0..src19) is driver data, so tests bind
+    budgets positionally."""
+    totals = {r.source: r.total_tokens for r in source_token_totals(tok).collect()}
+    names = sorted(totals)
+    return {names[i]: int(totals[names[i]] * f) for i, f in fracs.items()}, totals
+
+
+def test_mixing_matches_duckdb(spark, duck):
+    tok = from_documents(spark, SF_DIR)
+    budgets, _ = _budgets(tok, {0: 0.4, 1: 0.8, 2: 1.0})
+    got = sorted(r.doc_id for r in mixed_corpus(tok, budgets, "s1").select("doc_id").collect())
+    inner = mixed_corpus_sql(plan_mixture(tok, budgets), "s1", documents_token_sql())
+    want = sorted(r[0] for r in duck.execute(f"SELECT doc_id FROM {inner} m").fetchall())
+    assert len(got) > 20  # non-vacuous
+    assert got == want
+
+
+def test_mixing_hits_budgets(spark):
+    tok = from_documents(spark, SF01_DIR)
+    budgets, totals = _budgets(tok, {0: 0.5, 1: 0.25})
+    rep = {r.source: r for r in mixing_report(tok, budgets).collect()}
+    assert set(rep) == set(totals)
+    for s, budget in budgets.items():
+        assert abs(rep[s].kept_tokens - budget) / budget < 0.10, (s, rep[s], budget)
+        assert rep[s].budget == budget
+    # unbudgeted sources drop entirely
+    for s in set(totals) - set(budgets):
+        assert rep[s].kept_tokens == 0 and rep[s].kept_docs == 0
+
+
+def test_mixing_full_budget_keeps_everything(spark):
+    tok = from_documents(spark, SF_DIR)
+    totals = {r.source: r.total_tokens for r in source_token_totals(tok).collect()}
+    kept = mixed_corpus(tok, {s: t * 2 for s, t in totals.items()})
+    assert kept.count() == tok.count()
+
+
+def test_mixing_is_deterministic_and_content_keyed(spark):
+    tok = from_documents(spark, SF_DIR)
+    budgets, _ = _budgets(tok, {i: 0.5 for i in range(5)})
+    a = sorted(r.doc_id for r in mixed_corpus(tok, budgets, "s1").select("doc_id").collect())
+    b = sorted(r.doc_id for r in mixed_corpus(tok, budgets, "s1").select("doc_id").collect())
+    assert a == b
+    # a different salt draws a different (deterministic) sample
+    c = sorted(r.doc_id for r in mixed_corpus(tok, budgets, "s2").select("doc_id").collect())
+    assert a != c
+    # keep decisions are per-doc: restricting the input corpus never
+    # flips a surviving doc's fate at the same thresholds (incremental
+    # rebuild property) — gate the half corpus with the FULL plan
+    from hoopstat_haus_spark.tables.mixing import _u32_hash
+
+    thresholds = plan_mixture(tok, budgets)
+    half = tok.filter(F.substring("doc_id", 12, 1).isin(["0", "2", "4", "6", "8"]))
+    gate = F.lit(0).cast("long")
+    for s, t in sorted(thresholds.items()):
+        gate = F.when(F.col("source") == s, F.lit(t)).otherwise(gate)
+    kept_half = sorted(r.doc_id for r in half.filter(_u32_hash("s1") < gate).select("doc_id").collect())
+    half_ids = {r.doc_id for r in half.select("doc_id").collect()}
+    assert kept_half == sorted(i for i in a if i in half_ids)
+
+
+def test_mixing_gate_is_shuffle_free(spark):
+    tok = from_documents(spark, SF_DIR)
+    budgets, _ = _budgets(tok, {0: 0.5})
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        mixed_corpus(tok, budgets).explain("formatted")
+    assert "Exchange (" not in buf.getvalue()
