@@ -10,6 +10,10 @@ build runs, composed from this engine's operators.
       → tokenize              (closed-form generator — stands in for a
                                real tokenizer; same expressions as
                                ``tables.from_documents``)
+      → mix                   (optional: per-source token budgets,
+                               content-keyed gate — ``tables/mixing``)
+      → pack                  (optional: fixed-length training
+                               sequences — ``tables/packing``)
       → lakehouse ingest      (optional: CREATE or MERGE a TokenLakeTable)
 
 Scale design: one (doc_id, shingles) frame is built over the quality+
@@ -39,6 +43,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hoopstat_haus_spark.operators.common import load
+from hoopstat_haus_spark.tables.mixing import mixed_corpus
+from hoopstat_haus_spark.tables.packing import pack_sequences
 from hoopstat_haus_spark.tables.token_table import tokenize_documents
 from hoopstat_haus_spark.text.analysis import gopher_pass
 from hoopstat_haus_spark.text.decontaminate import contamination_report_from
@@ -62,9 +68,14 @@ def build_training_corpus(
     benchmark: DataFrame | None = None,
     near_dup_threshold: float = 0.6,
     min_hits: int = 2,
+    budgets: dict[str, int] | None = None,
+    seq_len: int | None = None,
+    n_shards: int = 64,
 ) -> tuple[DataFrame, PipelineReport]:
     """Run the full pipeline; returns (token table of the cleaned
-    corpus, per-stage report). ``benchmark`` needs (bench_id, text)."""
+    corpus — or packed sequences when ``seq_len`` is set — and the
+    per-stage report). ``benchmark`` needs (bench_id, text);
+    ``budgets`` maps source → token budget (see ``tables/mixing``)."""
     rep = PipelineReport()
     docs = load(spark, sf_dir, "documents")
     rep.record("input", docs.count())
@@ -122,4 +133,16 @@ def build_training_corpus(
     # 5. tokenize
     tokens = tokenize_documents(survivors)
     rep.record("tokenized", rep.stages.get("decontaminated", rep.stages["near_dedup"]))
+
+    # 6. mix — thin each source to its token budget (content-keyed gate,
+    #    shuffle-free; thresholds planned from a 5-row totals aggregate)
+    if budgets is not None:
+        tokens = mixed_corpus(tokens, budgets).localCheckpoint(eager=False)
+        rep.record("mixed", tokens.count())
+
+    # 7. pack — fixed-length training sequences (one payload shuffle on
+    #    (source, shard)); the return schema switches to sequences
+    if seq_len is not None:
+        tokens = pack_sequences(tokens, seq_len, n_shards)
+        rep.record("packed_sequences", tokens.count())
     return tokens, rep

@@ -122,6 +122,37 @@ def pack_sequences(tokens_df: DataFrame, seq_len: int, n_shards: int = 64) -> Da
     )
 
 
+def packing_report(tokens_df: DataFrame, seq_len: int, n_shards: int = 64) -> DataFrame:
+    """Per-source packing yield WITHOUT running the pack: a shard group
+    drops exactly ``total_tokens % seq_len`` (the invariant
+    ``tests/test_packing.py`` pins), so the report is a skinny
+    (doc_id, n_tok, source) aggregate — no token payload read.
+
+    Returns (source, total_tokens, packed_tokens, waste_tokens,
+    n_sequences, n_shards_used). Check ``waste_tokens/total_tokens``
+    before packing a small corpus with many shards — the repo's
+    no-silent-caps rule: the tail drop is bounded but NOT zero, and
+    over-sharding a tiny corpus can eat a large fraction."""
+    L = seq_len
+    per_shard = (
+        tokens_df.filter(F.col("n_tok") > 0)
+        .select("source", F.col("n_tok").cast("long").alias("n_tok"), shard_expr(n_shards).alias("shard"))
+        .groupBy("source", "shard")
+        .agg(F.sum("n_tok").alias("t"))
+    )
+    return (
+        per_shard.groupBy("source")
+        .agg(
+            F.sum("t").alias("total_tokens"),
+            F.sum(F.expr(f"(t DIV {L}) * {L}")).alias("packed_tokens"),
+            F.sum(F.expr(f"t % {L}")).alias("waste_tokens"),
+            F.sum(F.expr(f"t DIV {L}")).alias("n_sequences"),
+            F.count(F.lit(1)).cast("int").alias("n_shards_used"),
+        )
+        .orderBy("source")
+    )
+
+
 def packed_sequences_sql(seq_len: int, n_shards: int, tok_inner: str) -> str:
     """DuckDB SQL producing the same rows as :func:`pack_sequences` over
     the same token table (``tok_inner`` = a derived-table SQL string,

@@ -105,6 +105,25 @@ def test_packing_single_shuffle_plan(spark):
     assert plan.count("Exchange (") == 1, plan
 
 
+def test_packing_report_is_closed_form(spark):
+    from hoopstat_haus_spark.tables.packing import packing_report
+
+    tok = from_documents(spark, SF_DIR)
+    rep = {r.source: r for r in packing_report(tok, SEQ_LEN, N_SHARDS).collect()}
+    actual = {
+        r.source: r
+        for r in pack_sequences(tok, SEQ_LEN, N_SHARDS)
+        .groupBy("source")
+        .agg(F.sum(F.size("tokens")).alias("t"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for s, r in rep.items():
+        assert r.packed_tokens == (actual[s].t if s in actual else 0)
+        assert r.n_sequences == (actual[s].n if s in actual else 0)
+        assert r.total_tokens == r.packed_tokens + r.waste_tokens
+        assert r.waste_tokens < r.n_shards_used * SEQ_LEN
+
+
 def test_packing_rejects_bad_params(spark):
     tok = from_documents(spark, SF_DIR)
     with pytest.raises(ValueError):

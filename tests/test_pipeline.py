@@ -77,6 +77,28 @@ def test_pipeline_exact_dedup_matches_bruteforce(spark, corpus_texts):
     assert 0 <= removed <= n_extra_copies
 
 
+def test_pipeline_mix_and_pack_stages(spark):
+    from hoopstat_haus_spark.tables.mixing import source_token_totals
+
+    # plan budgets over the CLEANED corpus: run once without mixing to
+    # learn totals, then the full chain with mix + pack
+    tokens, _ = build_training_corpus(spark, SF_DIR)
+    totals = {r.source: r.total_tokens for r in source_token_totals(tokens).collect()}
+    budgets = {s: int(t * 0.6) for s, t in totals.items()}
+    seqs, rep = build_training_corpus(spark, SF_DIR, budgets=budgets, seq_len=64, n_shards=4)
+    assert rep.stages["mixed"] <= rep.stages["tokenized"]
+    assert rep.stages["mixed"] > 0
+    assert rep.stages["packed_sequences"] > 0
+    rows = seqs.collect()
+    assert len(rows) == rep.stages["packed_sequences"]
+    assert all(len(r.tokens) == 64 for r in rows)
+    # packed output ≈ 0.6 of the cleaned corpus tokens (sampling noise
+    # + per-shard tails; wide band, non-vacuity is the point)
+    target = 0.6 * sum(totals.values())
+    packed = 64 * len(rows)
+    assert 0.75 * target <= packed + 4 * 5 * 64 and packed <= 1.25 * target
+
+
 def test_pipeline_is_deterministic(spark):
     t1, r1 = build_training_corpus(spark, SF_DIR)
     t2, r2 = build_training_corpus(spark, SF_DIR)
