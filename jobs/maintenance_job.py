@@ -20,6 +20,9 @@ Subcommands:
     evolve    add columns to the table schema (metadata-only)
     stats     print current snapshot summary + per-partition manifest rollup
     health    roll up per-job metrics into the pipeline health report
+    corpus    run the training-corpus pipeline (quality → dedup →
+              decontaminate → tokenize, optional mixture budgets and
+              sequence packing) from a documents dir to parquet
 
 On a cluster the session comes from spark-submit's conf; local runs fall
 back to the tuned local factory. Every job prints one JSON metrics line
@@ -110,6 +113,22 @@ def main(argv: list[str] | None = None) -> int:
     h.add_argument("--table", required=True)
     h.add_argument("--lookback-jobs", type=int, default=50)
 
+    cp = sub.add_parser("corpus")
+    cp.add_argument("--input", required=True, help="dir containing documents.parquet")
+    cp.add_argument(
+        "--out", required=True, help="output parquet dir (token table; packed sequences with --seq-len)"
+    )
+    cp.add_argument("--benchmark", default=None, help="parquet with (bench_id, text) → decontamination")
+    cp.add_argument(
+        "--budget",
+        action="append",
+        default=None,
+        help="source=tokens mixture budget (repeatable); unbudgeted sources drop",
+    )
+    cp.add_argument("--seq-len", type=int, default=None, help="pack into fixed-length sequences")
+    cp.add_argument("--n-shards", type=int, default=64)
+    cp.add_argument("--job-id", default=None)
+
     args = ap.parse_args(argv)
     spark = _spark()
 
@@ -141,6 +160,35 @@ def main(argv: list[str] | None = None) -> int:
 
 
 def _dispatch(args, spark) -> dict:
+    if args.cmd == "corpus":
+        from hoopstat_haus_spark.pipeline import build_training_corpus
+
+        budgets = None
+        if args.budget:
+            budgets = {}
+            for spec in args.budget:
+                name, _, val = spec.partition("=")
+                if not name or not val:
+                    raise SystemExit(f"bad --budget spec {spec!r}, want source=tokens")
+                budgets[name] = int(val)
+        bench_df = spark.read.parquet(args.benchmark) if args.benchmark else None
+        out_df, rep = build_training_corpus(
+            spark,
+            args.input,
+            benchmark=bench_df,
+            budgets=budgets,
+            seq_len=args.seq_len,
+            n_shards=args.n_shards,
+        )
+        out_df.write.mode("error").parquet(args.out)
+        return {
+            "stages": rep.stages,
+            "out": args.out,
+            "rows": rep.stages.get(
+                "packed_sequences", rep.stages.get("mixed", rep.stages["tokenized"])
+            ),
+        }
+
     from hoopstat_haus_spark.lakehouse import CompactionPolicy, TokenLakeTable
 
     table = TokenLakeTable(spark, args.table)

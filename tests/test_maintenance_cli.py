@@ -123,3 +123,28 @@ def test_ingest_subcommand_exactly_once(spark, tmp_table_dir, capsys, tmp_path):
     )
     assert out2["snapshots_committed"] == 0
     assert out2["last_stream_batch"] == 0
+
+
+def test_corpus_subcommand_end_to_end(spark, capsys, tmp_path):
+    from tests.conftest import SF_DIR
+
+    out_dir = str(tmp_path / "corpus_out")
+    out = _run(
+        capsys, "corpus", "--input", SF_DIR, "--out", out_dir,
+        "--seq-len", "64", "--n-shards", "1", "--job-id", "cli-corpus",
+    )
+    s = out["stages"]
+    assert s["input"] >= s["quality"] >= s["exact_dedup"] >= s["near_dedup"]
+    assert s["packed_sequences"] > 0 and out["rows"] == s["packed_sequences"]
+    got = spark.read.parquet(out_dir)
+    assert got.count() == s["packed_sequences"]
+    assert got.select(F.min(F.size("tokens")), F.max(F.size("tokens"))).collect()[0] == (64, 64)
+
+
+def test_corpus_subcommand_budget_parsing(spark, capsys, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        maintenance_job.main(
+            ["corpus", "--input", "x", "--out", str(tmp_path / "o"), "--budget", "nonsense"]
+        )
