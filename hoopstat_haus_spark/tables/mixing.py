@@ -45,19 +45,52 @@ def source_token_totals(tokens_df: DataFrame) -> DataFrame:
     )
 
 
-def plan_mixture(tokens_df: DataFrame, budgets: dict[str, int]) -> dict[str, int]:
-    """Per-source u32 keep-thresholds for the requested token budgets.
-
-    frac = min(1, budget/total) → threshold = floor(frac·2³²). Sources
-    not in ``budgets`` get threshold 0 (dropped). The totals aggregate
-    collects O(sources) rows — metadata-scale at any corpus size."""
-    totals = {r.source: r.total_tokens for r in source_token_totals(tokens_df).collect()}
+def _thresholds(totals: dict[str, int], budgets: dict[str, int]) -> dict[str, int]:
     thresholds: dict[str, int] = {}
     for source, total in totals.items():
         budget = budgets.get(source, 0)
         frac = min(1.0, budget / total) if total else 0.0
         thresholds[source] = _U32 if frac >= 1.0 else int(frac * _U32)
     return thresholds
+
+
+def plan_mixture(tokens_df: DataFrame, budgets: dict[str, int]) -> dict[str, int]:
+    """Per-source u32 keep-thresholds for the requested token budgets.
+
+    frac = min(1, budget/total) → threshold = floor(frac·2³²). Sources
+    not in ``budgets`` get threshold 0 (dropped). The totals aggregate
+    collects O(sources) rows — metadata-scale at any corpus size."""
+    return _thresholds(
+        {r.source: r.total_tokens for r in source_token_totals(tokens_df).collect()}, budgets
+    )
+
+
+def plan_mixture_from_table(table, budgets: dict[str, int]) -> dict[str, int]:
+    """:func:`plan_mixture` for a ``TokenLakeTable`` WITHOUT scanning:
+    per-source token totals come straight off the current snapshot's
+    manifest-list records (each carries its partition's token_count
+    rollup), so planning a mixture over a 100 TB table reads
+    O(partitions) metadata and zero data files."""
+    from hoopstat_haus_spark.lakehouse import manifest as mf
+
+    snap = table.log.current()
+    recs = mf.read_manifest_list(table.path, snap.manifest) if snap else []
+    return _thresholds({r["partition"]: r["token_count"] for r in recs}, budgets)
+
+
+def mixed_corpus_from_table(table, budgets: dict[str, int], salt: str = "mix") -> DataFrame:
+    """The sampled corpus of a lakehouse table: manifest-planned
+    thresholds applied to ``table.scan()`` restricted to the budgeted
+    partitions (shard-level manifest pruning skips the rest's metadata
+    and files entirely)."""
+    thresholds = plan_mixture_from_table(table, budgets)
+    keep = sorted(s for s, t in thresholds.items() if t > 0)
+    if not keep:  # nothing budgeted: constant-false folds to an empty relation
+        return table.scan().filter(F.lit(False))
+    gate = F.lit(0).cast("long")
+    for source in keep:
+        gate = F.when(F.col("source") == source, F.lit(thresholds[source])).otherwise(gate)
+    return table.scan(sources=keep).filter(_u32_hash(salt) < gate)
 
 
 def mixed_corpus(

@@ -55,7 +55,11 @@ def pack_sequences(tokens_df: DataFrame, seq_len: int, n_shards: int = 64) -> Da
 
     Returns (seq_id string, source, shard int, seq_idx long,
     tokens array<int> of EXACTLY ``seq_len``, n_docs int — how many
-    documents contributed). Output is a pure function of
+    documents contributed, doc_spans array<struct<pos:int, n:int>> —
+    each contributing doc's offset and length within the sequence, in
+    order, covering it exactly: the boundary metadata an attention
+    mask / loss mask needs to stop cross-document attention after
+    packing). Output is a pure function of
     (input content, seq_len, n_shards): docs order by doc_id within
     their shard, so re-runs and different cluster sizes produce
     byte-identical sequences — required for reproducible training data.
@@ -97,18 +101,25 @@ def pack_sequences(tokens_df: DataFrame, seq_len: int, n_shards: int = 64) -> Da
     )
     piece_start = F.greatest(F.col("seq_idx") * L - F.col("off"), F.lit(0))  # 0-based within doc
     piece_end = F.least((F.col("seq_idx") + 1) * L, F.col("off") + F.col("n_tok")) - F.col("off")
+    pos_in_seq = F.greatest(F.col("off") - F.col("seq_idx") * L, F.lit(0))  # 0-based within seq
     d = d.select(
         "source",
         "shard",
         "seq_idx",
         "off",
         F.slice("tokens", (piece_start + 1).cast("int"), (piece_end - piece_start).cast("int")).alias("piece"),
+        pos_in_seq.cast("int").alias("pos"),
+        (piece_end - piece_start).cast("int").alias("n"),
     )
+    assembled = F.sort_array(F.collect_list(F.struct("off", "piece", "pos", "n")))
     seqs = (
         d.groupBy("source", "shard", "seq_idx")
         .agg(
-            F.flatten(F.sort_array(F.collect_list(F.struct("off", "piece"))).piece).alias("tokens"),
+            F.flatten(assembled.piece).alias("tokens"),
             F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.transform(assembled, lambda x: F.struct(x.pos.alias("pos"), x.n.alias("n"))).alias(
+                "doc_spans"
+            ),
         )
         .filter(F.size("tokens") == seq_len)  # drop each shard's partial tail
     )
@@ -119,6 +130,7 @@ def pack_sequences(tokens_df: DataFrame, seq_len: int, n_shards: int = 64) -> Da
         "seq_idx",
         "tokens",
         "n_docs",
+        "doc_spans",
     )
 
 
@@ -172,13 +184,17 @@ def packed_sequences_sql(seq_len: int, n_shards: int, tok_inner: str) -> str:
         SELECT source, shard, seq_idx, off,
                list_slice(tokens,
                           CAST(GREATEST(seq_idx * {seq_len} - off, 0) + 1 AS BIGINT),
-                          CAST(LEAST((seq_idx + 1) * {seq_len}, off + n_tok) - off AS BIGINT)) AS piece
+                          CAST(LEAST((seq_idx + 1) * {seq_len}, off + n_tok) - off AS BIGINT)) AS piece,
+               CAST(GREATEST(off - seq_idx * {seq_len}, 0) AS INT) AS pos,
+               CAST(LEAST((seq_idx + 1) * {seq_len}, off + n_tok)
+                    - GREATEST(seq_idx * {seq_len}, off) AS INT) AS n
         FROM o, UNNEST(range(off // {seq_len}, (off + n_tok - 1) // {seq_len} + 1)) AS t(seq_idx)
       )
       SELECT printf('%s-%05d-%08d', source, CAST(shard AS INT), seq_idx) AS seq_id,
              source, CAST(shard AS INT) AS shard, seq_idx,
              flatten(list(piece ORDER BY off)) AS tokens,
-             CAST(COUNT(*) AS INT) AS n_docs
+             CAST(COUNT(*) AS INT) AS n_docs,
+             list(struct_pack(pos := pos, n := n) ORDER BY off) AS doc_spans
       FROM pieces
       GROUP BY source, shard, seq_idx
       HAVING len(flatten(list(piece ORDER BY off))) = {seq_len}

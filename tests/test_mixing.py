@@ -97,3 +97,25 @@ def test_mixing_gate_is_shuffle_free(spark):
     with redirect_stdout(buf):
         mixed_corpus(tok, budgets).explain("formatted")
     assert "Exchange (" not in buf.getvalue()
+
+
+def test_mixing_plans_from_manifest_metadata(spark, tmp_table_dir):
+    from hoopstat_haus_spark.lakehouse import TokenLakeTable
+    from hoopstat_haus_spark.tables import synthetic
+    from hoopstat_haus_spark.tables.mixing import mixed_corpus_from_table, plan_mixture_from_table
+
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 4000), repartition_n=4)
+    totals = {r.source: r.total_tokens for r in source_token_totals(t.scan()).collect()}
+    budgets = {"web": int(totals["web"] * 0.5), "books": totals["books"] * 3}
+
+    # manifest-planned thresholds == scan-planned thresholds (the
+    # manifest token_count rollup IS the per-source total)
+    assert plan_mixture_from_table(t, budgets) == plan_mixture(t.scan(), budgets)
+
+    got = mixed_corpus_from_table(t, budgets, "s1")
+    want = mixed_corpus(t.scan(), budgets, "s1").filter(F.col("source").isin("web", "books"))
+    assert sorted(r.doc_id for r in got.select("doc_id").collect()) == sorted(
+        r.doc_id for r in want.select("doc_id").collect()
+    )
+    # unbudgeted: empty without error
+    assert mixed_corpus_from_table(t, {}).count() == 0

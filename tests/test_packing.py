@@ -27,23 +27,43 @@ def duck():
 
 
 def test_packing_matches_duckdb(spark, duck):
+    spans_str = F.array_join(
+        F.transform("doc_spans", lambda x: F.concat_ws(":", x.pos, x.n)), ","
+    )
     got = {
-        r.seq_id: (r.source, r.shard, r.seq_idx, r.sig, r.n_docs)
+        r.seq_id: (r.source, r.shard, r.seq_idx, r.sig, r.n_docs, r.spans)
         for r in pack_sequences(from_documents(spark, SF_DIR), SEQ_LEN, N_SHARDS)
-        .select("seq_id", "source", "shard", "seq_idx", token_sig(F.col("tokens")).alias("sig"), "n_docs")
+        .select(
+            "seq_id", "source", "shard", "seq_idx",
+            token_sig(F.col("tokens")).alias("sig"), "n_docs", spans_str.alias("spans"),
+        )
         .collect()
     }
     inner = packed_sequences_sql(SEQ_LEN, N_SHARDS, documents_token_sql())
     want = {
-        r[0]: (r[1], r[2], r[3], r[4], r[5])
+        r[0]: (r[1], r[2], r[3], r[4], r[5], r[6])
         for r in duck.execute(
             f"""SELECT seq_id, source, shard, seq_idx,
-                       md5(array_to_string(tokens, ',')) AS sig, n_docs
+                       md5(array_to_string(tokens, ',')) AS sig, n_docs,
+                       array_to_string(list_transform(doc_spans,
+                           x -> CAST(x.pos AS VARCHAR) || ':' || CAST(x.n AS VARCHAR)), ',') AS spans
                 FROM {inner} p"""
         ).fetchall()
     }
     assert len(got) > 50  # non-vacuous at sf0.001
     assert got == want
+
+
+def test_packing_spans_tile_each_sequence(spark):
+    rows = pack_sequences(from_documents(spark, SF_DIR), SEQ_LEN, N_SHARDS).collect()
+    for r in rows:
+        assert len(r.doc_spans) == r.n_docs
+        # spans are contiguous, in order, and cover [0, SEQ_LEN) exactly
+        expect = 0
+        for s in r.doc_spans:
+            assert s.pos == expect and s.n >= 1
+            expect += s.n
+        assert expect == SEQ_LEN
 
 
 def test_packing_invariants(spark):
