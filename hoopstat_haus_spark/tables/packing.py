@@ -165,6 +165,38 @@ def packing_report(tokens_df: DataFrame, seq_len: int, n_shards: int = 64) -> Da
     )
 
 
+def shuffle_sequences(seqs: DataFrame, n_out_shards: int, salt: str = "shuf") -> DataFrame:
+    """Deterministic global shuffle of packed sequences for training
+    order: every sequence gets a content-keyed u64 sort key
+    (``xxhash64(seq_id, salt-hash)``), routes to output shard
+    ``key % n_out_shards``, and sorts by key within its shard — reading
+    the shards in order yields a fixed pseudo-random permutation of the
+    corpus (same multiset, reproducible across runs and cluster sizes).
+
+    Packing groups sequences by (source, shard); training must NOT see
+    that order (a whole source in a row = catastrophic curriculum
+    skew). One shuffle on ``_out_shard`` + a post-shuffle sort — no
+    global ``orderBy`` (whose range sampler would re-execute the child;
+    see CLAUDE.md), and shard sizes are uniform to within sampling
+    noise, so downstream readers load-balance."""
+    if n_out_shards < 1:
+        raise ValueError("n_out_shards must be >= 1")
+    key = F.xxhash64(F.col("seq_id"), F.lit(_salt_seed(salt)))
+    return (
+        seqs.withColumn("_shuffle_key", key)
+        .withColumn("_out_shard", F.pmod(F.col("_shuffle_key"), F.lit(n_out_shards)).cast("int"))
+        .repartition(n_out_shards, "_out_shard")
+        .sortWithinPartitions("_out_shard", "_shuffle_key", "seq_id")
+    )
+
+
+def _salt_seed(salt: str) -> int:
+    """Stable int64 seed from a salt string (md5 head, sign-safe)."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(salt.encode()).digest()[:8], "big", signed=True)
+
+
 def packed_sequences_sql(seq_len: int, n_shards: int, tok_inner: str) -> str:
     """DuckDB SQL producing the same rows as :func:`pack_sequences` over
     the same token table (``tok_inner`` = a derived-table SQL string,

@@ -150,3 +150,31 @@ def test_packing_rejects_bad_params(spark):
         pack_sequences(tok, 0)
     with pytest.raises(ValueError):
         pack_sequences(tok, 128, 0)
+
+
+def test_shuffle_sequences_is_deterministic_permutation(spark):
+    from collections import Counter
+
+    from hoopstat_haus_spark.tables.packing import shuffle_sequences
+
+    seqs = pack_sequences(from_documents(spark, SF_DIR), SEQ_LEN, N_SHARDS)
+    a = shuffle_sequences(seqs, 4, "s1").collect()
+    b = shuffle_sequences(seqs, 4, "s1").collect()
+    # permutation: same multiset of sequences, nothing lost or dup'd
+    assert Counter(r.seq_id for r in a) == Counter(r.seq_id for r in seqs.collect())
+    # deterministic: identical shard assignment AND identical order
+    assert [(r.seq_id, r._out_shard) for r in a] == [(r.seq_id, r._out_shard) for r in b]
+    # rows arrive shard-by-shard, sorted by the shuffle key inside each
+    for shard in range(4):
+        keys = [r._shuffle_key for r in a if r._out_shard == shard]
+        assert keys == sorted(keys)
+    # the packing order (runs of one source) is destroyed: consecutive
+    # output rows rarely share a source
+    runs = sum(1 for x, y in zip(a, a[1:]) if x.source == y.source)
+    assert runs < 0.55 * len(a)
+    # a different salt yields a different permutation
+    c = shuffle_sequences(seqs, 4, "s2").collect()
+    assert [r.seq_id for r in a] != [r.seq_id for r in c]
+    # shard sizes balanced within sampling noise
+    sizes = Counter(r._out_shard for r in a).values()
+    assert max(sizes) < 2 * min(sizes)
