@@ -143,6 +143,8 @@ def build_training_corpus(
     # 7. pack — fixed-length training sequences (one payload shuffle on
     #    (source, shard)); the return schema switches to sequences
     if seq_len is not None:
-        tokens = pack_sequences(tokens, seq_len, n_shards)
+        # checkpoint like every other counted stage: the report count and
+        # the caller's write must not each replay the packing shuffle
+        tokens = pack_sequences(tokens, seq_len, n_shards).localCheckpoint(eager=False)
         rep.record("packed_sequences", tokens.count())
     return tokens, rep

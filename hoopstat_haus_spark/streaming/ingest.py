@@ -17,11 +17,11 @@ marker per completed unit, check before write.)
 
 Scale notes (100 TB): feed discovery/state is Spark's file-source
 checkpoint (driver-side listing of NEW files only); ``dedupe='key'``
-anti-joins the batch against a column-pruned (doc_id, source) corpus
-scan — at large corpus sizes the scan is skinny but still O(corpus),
-so the batch side is broadcast when small and the scan prunes to the
-feed's partitions first via the same shard-level pruning ``scan`` always
-applies. ``dedupe='content'`` compares ``token_sig`` and therefore must
+checks the batch against a column-pruned (doc_id, source) corpus scan
+restricted to the feed's partitions (the same shard-level pruning
+``scan`` always applies) — and the corpus side never shuffles: the
+batch keys broadcast into a semi-join whose ≤ |batch| result
+broadcasts back into the anti-join (see ``_anti_corpus``). ``dedupe='content'`` compares ``token_sig`` and therefore must
 read token payloads — documented full-scan path; the scale answer is
 persisting a digest column/index at write time (schema evolution
 supports adding it) and anti-joining that instead.
@@ -78,23 +78,32 @@ def dedupe_batch(batch: DataFrame) -> DataFrame:
 
 
 def _anti_corpus(batch: DataFrame, table: TokenLakeTable, mode: str) -> DataFrame:
+    # Both modes avoid shuffling the corpus: a direct `batch LEFT ANTI
+    # corpus` join cannot broadcast the small side (Spark builds only the
+    # RIGHT side of a LEFT ANTI hash join), so it would sort-merge-shuffle
+    # the whole skinny scan per micro-batch. Instead: semi-join the corpus
+    # against the broadcast batch keys — the result is ≤ |batch| rows —
+    # then anti-join the batch against that broadcast result. Two
+    # broadcast joins, zero corpus-side exchange.
     if mode == "key":
         # prune the corpus scan to the feed's partitions first — the
         # merge key includes source, so cross-partition rows can't match
         # and the shard-level pruning in scan() skips their metadata too
         parts = [r.source for r in batch.select("source").distinct().collect()]
         existing = table.scan(sources=parts).select("doc_id", "source")
-        return batch.join(existing, ["doc_id", "source"], "left_anti")
+        keys = batch.select("doc_id", "source")
+        present = existing.join(F.broadcast(keys), ["doc_id", "source"], "left_semi")
+        return batch.join(F.broadcast(present), ["doc_id", "source"], "left_anti")
     if mode == "content":
         # content identity spans partitions by definition: full (but
         # column-pruned to `tokens`) scan; the at-scale answer is a
         # persisted digest column/index (see module docstring)
-        existing = table.scan().select(token_sig(F.col("tokens")).alias("_sig")).distinct()
-        return (
-            batch.withColumn("_sig", token_sig(F.col("tokens")))
-            .join(existing, "_sig", "left_anti")
-            .drop("_sig")
-        )
+        sigs = batch.withColumn("_sig", token_sig(F.col("tokens")))
+        existing = table.scan().select(token_sig(F.col("tokens")).alias("_sig"))
+        present = existing.join(
+            F.broadcast(sigs.select("_sig").distinct()), "_sig", "left_semi"
+        ).distinct()
+        return sigs.join(F.broadcast(present), "_sig", "left_anti").drop("_sig")
     raise ValueError(f"dedupe mode {mode!r} (expected 'key', 'content', or None)")
 
 

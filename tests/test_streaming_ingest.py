@@ -116,3 +116,20 @@ def test_content_dedupe_drops_rekeyed_copies(env):
     proc(new.unionByName(copy), 0)
     assert t.scan().count() == 3010
     assert t.scan().filter(F.col("doc_id") == "doc-9999999999").count() == 0
+
+
+def test_anti_corpus_never_shuffles_the_corpus(env):
+    # the dedupe check must not sort-merge-shuffle the corpus per
+    # micro-batch: both modes run as two broadcast joins (batch keys
+    # broadcast into a semi-join; its <= |batch| result broadcasts into
+    # the anti-join). Spark can only build the RIGHT side of a LEFT ANTI
+    # hash join, so a direct batch-anti-corpus join would shuffle.
+    from hoopstat_haus_spark.streaming.ingest import _anti_corpus
+    from tests.test_plans import plan_of
+
+    spark, t, feed, ckpt = env
+    batch = synthetic(spark, 3010).filter(F.col("doc_id") >= "doc-0000003000")
+    for mode in ("key", "content"):
+        plan = plan_of(_anti_corpus(batch, t, mode))
+        assert "SortMergeJoin" not in plan, mode
+        assert plan.count("BroadcastHashJoin") >= 2, mode
