@@ -44,7 +44,7 @@ from pyspark.sql.window import Window
 
 from hoopstat_haus_spark.operators.common import load
 from hoopstat_haus_spark.tables.mixing import mixed_corpus
-from hoopstat_haus_spark.tables.packing import pack_sequences
+from hoopstat_haus_spark.tables.packing import pack_sequences, shuffle_sequences
 from hoopstat_haus_spark.tables.token_table import tokenize_documents
 from hoopstat_haus_spark.text.analysis import gopher_pass
 from hoopstat_haus_spark.text.decontaminate import contamination_report_from
@@ -71,11 +71,18 @@ def build_training_corpus(
     budgets: dict[str, int] | None = None,
     seq_len: int | None = None,
     n_shards: int = 64,
+    shuffle_out_shards: int | None = None,
+    shuffle_salt: str = "shuf",
 ) -> tuple[DataFrame, PipelineReport]:
     """Run the full pipeline; returns (token table of the cleaned
     corpus — or packed sequences when ``seq_len`` is set — and the
     per-stage report). ``benchmark`` needs (bench_id, text);
-    ``budgets`` maps source → token budget (see ``tables/mixing``)."""
+    ``budgets`` maps source → token budget (see ``tables/mixing``);
+    ``shuffle_out_shards`` additionally applies the deterministic
+    training-order shuffle (``tables/packing.shuffle_sequences``) to the
+    packed output — requires ``seq_len``."""
+    if shuffle_out_shards is not None and seq_len is None:
+        raise ValueError("shuffle_out_shards requires seq_len (only sequences shuffle)")
     rep = PipelineReport()
     docs = load(spark, sf_dir, "documents")
     rep.record("input", docs.count())
@@ -147,4 +154,9 @@ def build_training_corpus(
         # the caller's write must not each replay the packing shuffle
         tokens = pack_sequences(tokens, seq_len, n_shards).localCheckpoint(eager=False)
         rep.record("packed_sequences", tokens.count())
+        # 8. training-order shuffle — a permutation (no count change, no
+        #    extra action): one shuffle on the content-keyed out-shard
+        if shuffle_out_shards is not None:
+            tokens = shuffle_sequences(tokens, shuffle_out_shards, shuffle_salt)
+            rep.record("shuffled", rep.stages["packed_sequences"])
     return tokens, rep

@@ -127,6 +127,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     cp.add_argument("--seq-len", type=int, default=None, help="pack into fixed-length sequences")
     cp.add_argument("--n-shards", type=int, default=64)
+    cp.add_argument(
+        "--shuffle-shards",
+        type=int,
+        default=None,
+        help="deterministic training-order shuffle of packed sequences into N output shards",
+    )
     cp.add_argument("--job-id", default=None)
 
     args = ap.parse_args(argv)
@@ -179,6 +185,7 @@ def _dispatch(args, spark) -> dict:
             budgets=budgets,
             seq_len=args.seq_len,
             n_shards=args.n_shards,
+            shuffle_out_shards=args.shuffle_shards,
         )
         out_df.write.mode("error").parquet(args.out)
         return {

@@ -85,10 +85,17 @@ def test_pipeline_mix_and_pack_stages(spark):
     tokens, _ = build_training_corpus(spark, SF_DIR)
     totals = {r.source: r.total_tokens for r in source_token_totals(tokens).collect()}
     budgets = {s: int(t * 0.6) for s, t in totals.items()}
-    seqs, rep = build_training_corpus(spark, SF_DIR, budgets=budgets, seq_len=64, n_shards=4)
+    seqs, rep = build_training_corpus(
+        spark, SF_DIR, budgets=budgets, seq_len=64, n_shards=4, shuffle_out_shards=3
+    )
     assert rep.stages["mixed"] <= rep.stages["tokenized"]
     assert rep.stages["mixed"] > 0
     assert rep.stages["packed_sequences"] > 0
+    # training-order shuffle is a permutation: same count, keyed output
+    assert rep.stages["shuffled"] == rep.stages["packed_sequences"]
+    assert "_out_shard" in seqs.columns
+    with pytest.raises(ValueError):
+        build_training_corpus(spark, SF_DIR, shuffle_out_shards=3)  # needs seq_len
     rows = seqs.collect()
     assert len(rows) == rep.stages["packed_sequences"]
     assert all(len(r.tokens) == 64 for r in rows)
