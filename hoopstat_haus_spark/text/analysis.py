@@ -12,6 +12,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hoopstat_haus_spark.operators.common import load, round_stable
+from hoopstat_haus_spark.tables.packing import _SHARD_PRIME
+from hoopstat_haus_spark.tables.token_table import _MULT
 
 # Gopher-style filter thresholds (Rae et al. 2021 use 50 words / 3-10
 # chars / repetition caps on web text; scaled here to the synthetic
@@ -159,20 +161,74 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_BUDGET_FRAC = 0.6  # gate leg: each source budgeted to 60% of its tokens
+PACK_SEQ_LEN = 64
+PACK_N_SHARDS = 8
+
+
 def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus rollup as a tagged union over ``facet``
+    (one gate, three training-pipeline stages — the registry's 50-slot
+    protocol: merge, never append):
+
+    - ``quality``: n_docs, total whitespace words, mean quality score.
+    - ``mix``: the content-keyed mixture gate (``tables/mixing``) at a
+      60%-of-source token budget — kept docs, kept tokens, and
+      kept/budget as the achieved-ratio metric. The oracle recomputes
+      the budgets, u32 thresholds, and md5 gate entirely in SQL.
+    - ``pack``: the closed-form packing yield (``tables/packing``:
+      drop per (source, shard) group = total % seq_len) — sequence
+      count, packed tokens, and waste fraction.
+
+    Columns are (facet, source, n_docs, total, metric); each leg maps
+    its natural names onto that shape (documented here rather than
+    widening the union with per-leg nulls)."""
+    from hoopstat_haus_spark.tables.mixing import mixed_corpus, source_token_totals
+    from hoopstat_haus_spark.tables.packing import packing_report
+    from hoopstat_haus_spark.tables.token_table import tokenize_documents
+
     d = load(spark, sf_dir, "documents")
-    return (
+    quality = (
         d.select("source", quality_score(F.col("text")).alias("q"), word_count(F.col("text")).alias("w"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.round(F.sum(F.col("q").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 6).alias(
-                "avg_quality"
+                "metric"
             ),
-            F.sum("w").alias("total_words"),
+            F.sum("w").cast("long").alias("total"),
         )
-        .orderBy("source")
+        .select(F.lit("quality").alias("facet"), "source", "n_docs", "total", "metric")
     )
+
+    # skinny token frame: tokenize_documents' `tokens` column prunes away
+    toks = tokenize_documents(d).select("doc_id", "n_tok", "source")
+    totals = {r.source: int(r.total_tokens) for r in source_token_totals(toks).collect()}
+    budgets = {s: int(MIX_BUDGET_FRAC * t) for s, t in totals.items()}
+    budget_col = F.lit(0).cast("long")
+    for s, b in sorted(budgets.items()):
+        budget_col = F.when(F.col("source") == s, F.lit(b)).otherwise(budget_col)
+    mix = (
+        source_token_totals(mixed_corpus(toks, budgets))
+        .select(
+            F.lit("mix").alias("facet"),
+            "source",
+            "n_docs",
+            F.col("total_tokens").alias("total"),
+            F.round(F.col("total_tokens") / budget_col.cast("double") + 1e-9, 6).alias("metric"),
+        )
+    )
+
+    pack = packing_report(toks, PACK_SEQ_LEN, PACK_N_SHARDS).select(
+        F.lit("pack").alias("facet"),
+        "source",
+        F.col("n_sequences").alias("n_docs"),
+        F.col("packed_tokens").alias("total"),
+        F.round(F.col("waste_tokens") / F.col("total_tokens").cast("double") + 1e-9, 6).alias(
+            "metric"
+        ),
+    )
+    return quality.unionByName(mix).unionByName(pack).orderBy("facet", "source")
 
 
 _EN = r"\b(the|and|of|to|a)\b"
@@ -240,10 +296,53 @@ ORACLE = {
         ) ORDER BY doc_id
     """,
     "text_source_quality_rollup": f"""
-        SELECT source, COUNT(*) AS n_docs,
-               ROUND(CAST(SUM(CAST({_QUALITY_SQL} AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quality,
-               CAST(SUM({_WORDS_SQL}) AS BIGINT) AS total_words
-        FROM documents GROUP BY source ORDER BY source
+        WITH toks AS (
+          SELECT printf('doc-%08d', doc_id) AS doc_id,
+                 CAST(GREATEST(8, LEAST(512, CAST(FLOOR(n_chars / 4) AS INTEGER))) AS BIGINT) AS n_tok,
+                 source
+          FROM documents
+        ), bud AS (
+          -- budgets/thresholds exactly as plan_mixture: Python float 0.6·t
+          -- and frac·2^32 truncate the SAME IEEE doubles (CAST the
+          -- literals to DOUBLE — bare 0.6 would be DECIMAL and exact)
+          SELECT source, CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+                 CAST(trunc(CAST({MIX_BUDGET_FRAC} AS DOUBLE) * CAST(SUM(n_tok) AS BIGINT)) AS BIGINT) AS budget
+          FROM toks GROUP BY source
+        ), thr AS (
+          SELECT *, CASE WHEN budget >= total_tokens THEN 4294967296
+                         ELSE CAST(trunc((budget / total_tokens) * CAST(4294967296 AS DOUBLE)) AS BIGINT)
+                    END AS threshold
+          FROM bud
+        ), mix AS (
+          SELECT t.source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(t.n_tok) AS BIGINT) AS kept
+          FROM toks t JOIN thr b ON t.source = b.source
+          WHERE CAST('0x' || substr(md5(t.doc_id || 'mix'), 1, 8) AS BIGINT) < b.threshold
+          GROUP BY t.source
+        ), pershard AS (
+          SELECT source, ((CAST(substring(doc_id, 5, 12) AS BIGINT) * {_MULT}) % {_SHARD_PRIME}) % {PACK_N_SHARDS} AS shard,
+                 SUM(n_tok) AS t
+          FROM toks WHERE n_tok > 0 GROUP BY source, shard
+        ), pack AS (
+          SELECT source,
+                 CAST(SUM(t) AS BIGINT) AS total_tokens,
+                 CAST(SUM((t // {PACK_SEQ_LEN}) * {PACK_SEQ_LEN}) AS BIGINT) AS packed,
+                 CAST(SUM(t % {PACK_SEQ_LEN}) AS BIGINT) AS waste,
+                 CAST(SUM(t // {PACK_SEQ_LEN}) AS BIGINT) AS n_seqs
+          FROM pershard GROUP BY source
+        )
+        SELECT 'quality' AS facet, source, COUNT(*) AS n_docs,
+               CAST(SUM({_WORDS_SQL}) AS BIGINT) AS total,
+               ROUND(CAST(SUM(CAST({_QUALITY_SQL} AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS metric
+        FROM documents GROUP BY source
+        UNION ALL
+        SELECT 'mix' AS facet, m.source, m.n_docs, m.kept AS total,
+               ROUND(m.kept / CAST(b.budget AS DOUBLE) + 1e-9, 6) AS metric
+        FROM mix m JOIN thr b ON m.source = b.source
+        UNION ALL
+        SELECT 'pack' AS facet, source, n_seqs AS n_docs, packed AS total,
+               ROUND(waste / CAST(total_tokens AS DOUBLE) + 1e-9, 6) AS metric
+        FROM pack
+        ORDER BY facet, source
     """,
 }
 
