@@ -2,6 +2,8 @@
 build runs, composed from this engine's operators.
 
     documents
+      → scrub                 (optional: PII redaction + in-document
+                               line dedup — ``text/scrub``)
       → quality filter        (Gopher-style composite gate)
       → exact dedup           (normalized-content digest, keep min doc_id)
       → near dedup            (MinHash LSH candidates, exact-Jaccard
@@ -73,6 +75,7 @@ def build_training_corpus(
     n_shards: int = 64,
     shuffle_out_shards: int | None = None,
     shuffle_salt: str = "shuf",
+    scrub: bool = False,
 ) -> tuple[DataFrame, PipelineReport]:
     """Run the full pipeline; returns (token table of the cleaned
     corpus — or packed sequences when ``seq_len`` is set — and the
@@ -80,12 +83,22 @@ def build_training_corpus(
     ``budgets`` maps source → token budget (see ``tables/mixing``);
     ``shuffle_out_shards`` additionally applies the deterministic
     training-order shuffle (``tables/packing.shuffle_sequences``) to the
-    packed output — requires ``seq_len``."""
+    packed output — requires ``seq_len``; ``scrub`` PII-redacts and
+    line-dedups text before quality filtering (``text/scrub``)."""
     if shuffle_out_shards is not None and seq_len is None:
         raise ValueError("shuffle_out_shards requires seq_len (only sequences shuffle)")
     rep = PipelineReport()
     docs = load(spark, sf_dir, "documents")
     rep.record("input", docs.count())
+
+    # 0. scrub (optional) — PII redaction + in-document line dedup,
+    #    a stateless projection (drops no docs, so the count is free);
+    #    audit columns stay out of the corpus schema
+    if scrub:
+        from hoopstat_haus_spark.text.scrub import scrub_documents
+
+        docs = scrub_documents(docs).drop("n_lines_removed", "pii")
+        rep.record("scrubbed", rep.stages["input"])
 
     # 1. quality — native expressions, codegen, no shuffle
     q = docs.filter(gopher_pass(F.col("text"))).localCheckpoint(eager=False)

@@ -128,6 +128,11 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--seq-len", type=int, default=None, help="pack into fixed-length sequences")
     cp.add_argument("--n-shards", type=int, default=64)
     cp.add_argument(
+        "--scrub",
+        action="store_true",
+        help="PII-redact and line-dedup document text before quality filtering",
+    )
+    cp.add_argument(
         "--shuffle-shards",
         type=int,
         default=None,
@@ -186,6 +191,7 @@ def _dispatch(args, spark) -> dict:
             seq_len=args.seq_len,
             n_shards=args.n_shards,
             shuffle_out_shards=args.shuffle_shards,
+            scrub=args.scrub,
         )
         out_df.write.mode("error").parquet(args.out)
         return {
