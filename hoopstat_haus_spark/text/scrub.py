@@ -68,6 +68,30 @@ def dedup_lines(text: Column) -> Column:
     return F.array_join(F.array_distinct(F.split(text, r"\n")), "\n")
 
 
+def scrub_sql(inner: str = "documents") -> str:
+    """DuckDB SQL producing the same rows as :func:`scrub_documents`
+    over a (doc_id, text, ...) table — RE2 runs the identical pattern
+    chain (these patterns avoid backreferences/lookaround on purpose).
+    Line dedup keeps first occurrences via an index-position filter
+    (DuckDB's ``list_distinct`` does not guarantee order)."""
+    split = "string_split(text, chr(10))"
+    dedup = (
+        f"list_aggr(list_filter({split}, (x, i) -> "
+        f"list_position({split}, x) = i), 'string_agg', chr(10))"
+    )
+    expr = dedup
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(f"len(regexp_extract_all({expr}, '{pat}')) AS {name}")
+        expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
+    return f"""(
+      SELECT doc_id, {expr} AS text,
+             CAST(len({split}) - len(list_distinct({split})) AS INT) AS n_lines_removed,
+             {', '.join(counts)}
+      FROM {inner}
+    )"""
+
+
 def scrub_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """The scrub stage: line-dedup then PII-redact ``text_col`` in
     place, adding audit columns (n_lines_removed int, pii struct).

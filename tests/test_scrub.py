@@ -66,6 +66,26 @@ def test_scrub_is_noop_on_clean_corpus(spark):
     )
 
 
+def test_scrub_matches_duckdb(spark):
+    # cross-engine proof: DuckDB's RE2 replays the identical chain
+    import duckdb
+
+    from hoopstat_haus_spark.text.scrub import scrub_sql
+
+    df = spark.createDataFrame(DOCS, "doc_id string, text string")
+    got = {
+        r.doc_id: (r.text, r.n_lines_removed, tuple(r.pii))
+        for r in scrub_documents(df).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", DOCS)
+    for doc_id, text, removed, *counts in con.execute(
+        f"SELECT * FROM {scrub_sql()} ORDER BY doc_id"
+    ).fetchall():
+        assert got[doc_id] == (text, removed, tuple(counts)), doc_id
+
+
 def test_pipeline_scrub_stage(spark):
     from hoopstat_haus_spark.pipeline import build_training_corpus
 
