@@ -80,3 +80,30 @@ def test_planner_invariants(sizes):
     # no bin exceeds target unless it holds a single (oversized) file
     for b in bins:
         assert b.total_bytes <= policy.target_file_bytes or len(b.files) == 1
+
+
+def test_scrub_chain_is_idempotent():
+    """Redaction placeholders must never create new matches (no digits,
+    no '@'), so one scrub pass is a fixed point — re-scrubbing already-
+    published text is a safe no-op. Stressed at 20k examples once;
+    derandomized here so the suite stays deterministic."""
+    import re
+
+    from hypothesis import HealthCheck
+
+    from hoopstat_haus_spark.text.scrub import PII_PATTERNS
+
+    def chain(text):
+        out = "\n".join(dict.fromkeys(text.split("\n")))
+        for _, pat, tok in PII_PATTERNS:
+            out = re.sub(pat, tok, out)
+        return out
+
+    @settings(max_examples=500, deadline=None, derandomize=True,
+              suppress_health_check=[HealthCheck.differing_executors])
+    @given(st.text(alphabet="ab@.+-()0123456789 \nEMAILPHON<>_%", max_size=120))
+    def check(t):
+        once = chain(t)
+        assert chain(once) == once
+
+    check()
