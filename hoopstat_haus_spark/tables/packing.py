@@ -50,7 +50,9 @@ def shard_expr(n_shards: int) -> Column:
     return F.pmod((_doc_num() * F.lit(_MULT)) % F.lit(_SHARD_PRIME), F.lit(n_shards))
 
 
-def pack_sequences(tokens_df: DataFrame, seq_len: int, n_shards: int = 64) -> DataFrame:
+def pack_sequences(
+    tokens_df: DataFrame, seq_len: int, n_shards: int = 64, pad_id: int | None = None
+) -> DataFrame:
     """Pack the token table into fixed-length sequences.
 
     Returns (seq_id string, source, shard int, seq_idx long,
@@ -65,8 +67,9 @@ def pack_sequences(tokens_df: DataFrame, seq_len: int, n_shards: int = 64) -> Da
     byte-identical sequences — required for reproducible training data.
 
     Each shard's trailing partial sequence is dropped (bounded waste,
-    see module docstring); pad-to-length is a trivial variant
-    (``concat(piece, array_repeat(pad_id, ...))``) not needed here.
+    see module docstring); pass ``pad_id`` to keep it instead, padded to
+    ``seq_len`` (its true length is recoverable from ``doc_spans`` —
+    span positions/lengths never cover the padding).
 
     Size ``n_shards`` so a shard's token payload fits one task
     comfortably (~64–256 MB); the default 64 suits test/bench scale.
@@ -121,8 +124,19 @@ def pack_sequences(tokens_df: DataFrame, seq_len: int, n_shards: int = 64) -> Da
                 "doc_spans"
             ),
         )
-        .filter(F.size("tokens") == seq_len)  # drop each shard's partial tail
     )
+    if pad_id is None:
+        seqs = seqs.filter(F.size("tokens") == seq_len)  # drop each shard's partial tail
+    else:
+        # keep the tail, padded to seq_len; complete sequences pad zero
+        # elements (array_repeat with a non-positive count is empty)
+        seqs = seqs.withColumn(
+            "tokens",
+            F.concat(
+                "tokens",
+                F.array_repeat(F.lit(int(pad_id)).cast("int"), seq_len - F.size("tokens")),
+            ),
+        )
     return seqs.select(
         F.format_string("%s-%05d-%08d", "source", "shard", "seq_idx").alias("seq_id"),
         "source",

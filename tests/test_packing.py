@@ -178,3 +178,38 @@ def test_shuffle_sequences_is_deterministic_permutation(spark):
     # shard sizes balanced within sampling noise
     sizes = Counter(r._out_shard for r in a).values()
     assert max(sizes) < 2 * min(sizes)
+
+
+def test_pack_with_pad_keeps_every_token(spark):
+    from pyspark.sql import functions as F2
+
+    tok = from_documents(spark, SF_DIR)
+    dropped = pack_sequences(tok, SEQ_LEN, N_SHARDS)
+    padded = pack_sequences(tok, SEQ_LEN, N_SHARDS, pad_id=-1)
+    # every sequence is exactly seq_len; token conservation is exact:
+    # non-pad tokens across all sequences == total input tokens
+    assert padded.filter(F2.size("tokens") != SEQ_LEN).count() == 0
+    total_in = tok.select(F2.sum("n_tok")).collect()[0][0]
+    non_pad = padded.select(
+        F2.sum(F2.size(F2.filter("tokens", lambda x: x != -1)))
+    ).collect()[0][0]
+    assert non_pad == total_in
+    # exactly one extra (tail) sequence per non-multiple shard group,
+    # and the shared complete sequences are identical to drop mode
+    n_tail = padded.count() - dropped.count()
+    groups_with_tail = (
+        tok.filter(F2.col("n_tok") > 0)
+        .groupBy("source", shard_expr(N_SHARDS).alias("shard"))
+        .agg(F2.sum("n_tok").alias("t"))
+        .filter(F2.col("t") % SEQ_LEN != 0)
+        .count()
+    )
+    assert n_tail == groups_with_tail
+    # padding never carries a doc span: spans cover exactly the non-pad
+    # prefix in tail sequences
+    tails = padded.join(dropped.select("seq_id"), "seq_id", "left_anti")
+    bad = tails.filter(
+        F2.aggregate("doc_spans", F2.lit(0), lambda acc, x: acc + x.n)
+        != F2.size(F2.filter("tokens", lambda x: x != -1))
+    ).count()
+    assert bad == 0
