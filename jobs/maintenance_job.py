@@ -23,6 +23,8 @@ Subcommands:
     corpus    run the training-corpus pipeline (quality → dedup →
               decontaminate → tokenize, optional mixture budgets and
               sequence packing) from a documents dir to parquet
+    ann-index build a persisted IVF index from an embeddings dir
+              (cell-partitioned vectors; probe scans partition-prune)
 
 On a cluster the session comes from spark-submit's conf; local runs fall
 back to the tuned local factory. Every job prints one JSON metrics line
@@ -140,6 +142,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     cp.add_argument("--job-id", default=None)
 
+    ai = sub.add_parser("ann-index")
+    ai.add_argument("--input", required=True, help="dir containing embeddings.parquet")
+    ai.add_argument("--out", required=True, help="index output dir (must not exist)")
+    ai.add_argument("--n-lists", type=int, default=16)
+    ai.add_argument("--job-id", default=None)
+
     args = ap.parse_args(argv)
     spark = _spark()
 
@@ -171,6 +179,14 @@ def main(argv: list[str] | None = None) -> int:
 
 
 def _dispatch(args, spark) -> dict:
+    if args.cmd == "ann-index":
+        from hoopstat_haus_spark.operators.common import load
+        from hoopstat_haus_spark.similarity.ann_index import build_ivf_index
+
+        emb = load(spark, args.input, "embeddings").select("vec_id", "embedding")
+        meta = build_ivf_index(spark, emb, args.out, n_lists=args.n_lists)
+        return {**meta, "out": args.out, "rows": meta["n_vectors"]}
+
     if args.cmd == "corpus":
         from hoopstat_haus_spark.pipeline import build_training_corpus
 
