@@ -510,6 +510,26 @@ class TokenLakeTable:
         record_job_metrics(self.path, metrics, "compact", snapshot_id=snap.snapshot_id)
         return snap, metrics
 
+    # ------------------------------------------- maintenance: row delete
+    def delete_where(
+        self,
+        condition,
+        job_id: str | None = None,
+        sources: list[str] | None = None,
+        curve: str = "zorder",
+    ):
+        """Predicate DELETE (copy-on-write; see lakehouse/delete.py)."""
+        from hoopstat_haus_spark.lakehouse.delete import delete_where
+
+        return delete_where(self, condition, job_id=job_id, sources=sources, curve=curve)
+
+    # ------------------------------------------------- change data feed
+    def changes(self, from_snapshot_id: int, to_snapshot_id: int | None = None) -> DataFrame:
+        """Row-level net changes between snapshots (lakehouse/changes.py)."""
+        from hoopstat_haus_spark.lakehouse.changes import table_changes
+
+        return table_changes(self, from_snapshot_id, to_snapshot_id)
+
     # -------------------------------------- incremental planning (M8)
     def changed_partitions_since(self, snapshot_id: int) -> dict[str, dict]:
         """Snapshot-diff: which partitions gained/lost files since

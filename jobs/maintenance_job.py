@@ -12,6 +12,12 @@ Subcommands:
               --since-snapshot N compacts only partitions changed since
               that snapshot, --sources a,b restricts to named partitions)
     merge     MERGE INTO from an updates parquet path
+    delete    DELETE FROM ... WHERE <sql predicate> (file-pruned CoW;
+              GDPR-style row removal — only files holding a match are
+              rewritten, the rest carry by reference)
+    changes   row-level net change feed between two snapshots
+              (insert/update/delete classification; optional --out
+              parquet for downstream incremental consumers)
     ingest    Structured Streaming ingest of a parquet feed directory
               (Trigger.AvailableNow; exactly-once via snapshot-stamped
               stream batch ids — re-run on a schedule for incremental
@@ -93,6 +99,18 @@ def main(argv: list[str] | None = None) -> int:
         default="key",
         help="anti-join new rows against the corpus by merge key or token content",
     )
+
+    d = sub.add_parser("delete")
+    d.add_argument("--table", required=True)
+    d.add_argument("--where", required=True, help="SQL predicate; rows where it is TRUE are deleted")
+    d.add_argument("--sources", default=None, help="comma-separated partition list to restrict the find pass")
+    d.add_argument("--job-id", default=None)
+
+    ch = sub.add_parser("changes")
+    ch.add_argument("--table", required=True)
+    ch.add_argument("--from-snapshot", type=int, required=True)
+    ch.add_argument("--to-snapshot", type=int, default=None)
+    ch.add_argument("--out", default=None, help="optional parquet path for the change rows")
 
     e = sub.add_parser("expire")
     e.add_argument("--table", required=True)
@@ -271,6 +289,28 @@ def _dispatch(args, spark) -> dict:
         out = metrics.to_dict()
         out["snapshot"] = snap.snapshot_id
         return out
+    if args.cmd == "delete":
+        sources = args.sources.split(",") if args.sources else None
+        snap, metrics = table.delete_where(args.where, job_id=args.job_id, sources=sources)
+        out = metrics.to_dict()
+        out["snapshot"] = snap.snapshot_id if snap else None
+        out["matched_rows"] = snap.summary["matched_rows"] if snap else 0
+        out["where"] = args.where
+        return out
+    if args.cmd == "changes":
+        from hoopstat_haus_spark.lakehouse.changes import changes_summary, table_changes
+
+        ch_df = table_changes(table, args.from_snapshot, args.to_snapshot)
+        if args.out:
+            ch_df.write.mode("error").parquet(args.out)
+        summary = changes_summary(ch_df)
+        return {
+            "from_snapshot": args.from_snapshot,
+            "to_snapshot": args.to_snapshot if args.to_snapshot is not None else table.log.current_id(),
+            "changes": summary,
+            "rows": int(sum(summary.values())),
+            **({"out": args.out} if args.out else {}),
+        }
     if args.cmd == "ingest":
         from hoopstat_haus_spark.streaming.ingest import last_committed_batch, stream_ingest
 

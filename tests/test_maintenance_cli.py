@@ -148,3 +148,35 @@ def test_corpus_subcommand_budget_parsing(spark, capsys, tmp_path):
         maintenance_job.main(
             ["corpus", "--input", "x", "--out", str(tmp_path / "o"), "--budget", "nonsense"]
         )
+
+
+def test_delete_and_changes_subcommands(spark, tmp_table_dir, capsys, tmp_path):
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 3000), repartition_n=4)
+    from_id = t.log.current_id()
+    pre = t.scan().count()
+
+    out = _run(
+        capsys, "delete", "--table", t.path,
+        "--where", "cast(substr(doc_id, 5) as long) % 11 = 0",
+        "--job-id", "cli-del",
+    )
+    assert out["snapshot"] is not None
+    assert out["matched_rows"] > 0
+    assert t.scan().count() == pre - out["matched_rows"]
+
+    ch_out = str(tmp_path / "changes")
+    out2 = _run(
+        capsys, "changes", "--table", t.path,
+        "--from-snapshot", str(from_id), "--out", ch_out,
+    )
+    assert out2["changes"] == {"delete": out["matched_rows"]}
+    assert out2["rows"] == out["matched_rows"]
+    got = spark.read.parquet(ch_out)
+    assert got.count() == out["matched_rows"]
+    assert got.select("_change").distinct().collect()[0][0] == "delete"
+
+    # no-match delete: no snapshot committed
+    head = t.log.current_id()
+    out3 = _run(capsys, "delete", "--table", t.path, "--where", "doc_id = 'nope'")
+    assert out3["snapshot"] is None and out3["matched_rows"] == 0
+    assert t.log.current_id() == head
