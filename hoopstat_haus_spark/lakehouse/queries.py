@@ -129,11 +129,20 @@ def merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def snapshot_isolation_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compact, then read the PRE-maintenance snapshot: must equal the
     original derivation exactly (readers pinned to old snapshots are
-    unaffected by maintenance)."""
+    unaffected by maintenance). Also pins the change-data-feed identity:
+    a compaction is a pure physical rewrite, so ``table_changes`` across
+    it must emit ZERO rows (``cdc_compaction_silent`` TRUE in the
+    oracle) — the strongest possible no-op-suppression check, since the
+    diff actually reads every rewritten file on both sides."""
+    from hoopstat_haus_spark.lakehouse.changes import table_changes
+
     t = TokenLakeTable.create(spark, _scratch("isolation"), from_documents(spark, sf_dir), repartition_n=8)
     pre_snapshot = t.log.current_id()
     t.compact(TEST_POLICY)
-    return rollup(t.scan(snapshot_id=pre_snapshot))
+    cdc_silent = table_changes(t, pre_snapshot).count() == 0
+    return rollup(t.scan(snapshot_id=pre_snapshot)).withColumn(
+        "cdc_compaction_silent", F.lit(cdc_silent)
+    )
 
 
 def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -180,15 +189,31 @@ def gc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     → scan. The rollup must still equal the closed-form derivation
     (GC must never touch a reachable file), and ``gc_removed_orphans``
     — true only if ≥1 orphan was removed AND every removed path is gone
-    AND a dry-run rerun finds nothing left — is pinned TRUE."""
+    AND a dry-run rerun finds nothing left — is pinned TRUE.
+
+    A predicate DELETE (every 97th doc) runs between create and compact:
+    the oracle's WHERE mirror value-checks the delete (survivor sums are
+    exact), the delete's replaced files become extra orphans the GC
+    invariant must clean, and the CDC feed across the delete must emit
+    exactly the matched count as deletes (folded into the pinned flag)."""
     t = TokenLakeTable.create(spark, _scratch("gc"), from_documents(spark, sf_dir), repartition_n=8)
+    pre_delete = t.log.current_id()
+    del_snap, _m = t.delete_where("cast(substr(doc_id, 5) as bigint) % 97 = 0")
+    from hoopstat_haus_spark.lakehouse.changes import changes_summary, table_changes
+
+    cdc = changes_summary(table_changes(t, pre_delete))
+    delete_ok = (
+        del_snap is not None
+        and del_snap.summary["matched_rows"] > 0
+        and cdc == {"delete": del_snap.summary["matched_rows"]}
+    )
     t.compact(TEST_POLICY)
     t.expire_snapshots(keep_last=1)
     report = t.collect_garbage(min_age_s=0.0)
     removed = report["removed_data_files"]
     all_gone = all(not os.path.exists(os.path.join(t.path, r)) for r in removed)
     rerun_clean = not t.collect_garbage(min_age_s=0.0)["removed_data_files"]
-    gc_ok = bool(removed) and all_gone and rerun_clean
+    gc_ok = bool(removed) and all_gone and rerun_clean and delete_ok
     return rollup(t.scan()).withColumn("gc_removed_orphans", F.lit(gc_ok))
 
 
@@ -252,17 +277,28 @@ def _tokens_sql() -> str:
 
 
 ORACLE = {
-    # compaction and snapshot-pinned scans must both equal the pure derivation
+    # compaction scan must equal the pure derivation
     "maint_compact_scan": _ROLLUP_SQL.format(src=_tokens_sql()),
-    "maint_snapshot_isolation_scan": _ROLLUP_SQL.format(src=_tokens_sql()),
-    # post-GC scan must STILL equal the derivation; orphan removal is a
-    # Spark/driver-side invariant pinned to the literal TRUE
+    # pre-maintenance pinned scan equals the derivation; the CDC feed
+    # across the compaction must be empty (pinned TRUE)
+    "maint_snapshot_isolation_scan": f"""
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS sum_n_tok,
+               CAST(SUM(list_sum(tokens)) AS BIGINT) AS sum_tok_checksum,
+               TRUE AS cdc_compaction_silent
+        FROM {_tokens_sql()} t GROUP BY source ORDER BY source
+    """,
+    # post-GC scan must equal the derivation MINUS the predicate-deleted
+    # docs (the oracle value-checks delete_where); orphan removal +
+    # delete-CDC consistency are Spark/driver-side invariants pinned TRUE
     "maint_gc_scan": f"""
         SELECT source, COUNT(*) AS n_docs,
                CAST(SUM(n_tok) AS BIGINT) AS sum_n_tok,
                CAST(SUM(list_sum(tokens)) AS BIGINT) AS sum_tok_checksum,
                TRUE AS gc_removed_orphans
-        FROM {_tokens_sql()} t GROUP BY source ORDER BY source
+        FROM {_tokens_sql()} t
+        WHERE CAST(substr(doc_id, 5) AS BIGINT) % 97 != 0
+        GROUP BY source ORDER BY source
     """,
     "maint_merge_scan": _ROLLUP_SQL.format(
         src=f"""(
