@@ -125,17 +125,87 @@ class SnapshotLog:
             f.write(name)
         os.replace(tmp, ptr)  # atomic on POSIX
 
+    # -- tags ------------------------------------------------------------
+    # Named refs (Iceberg tag analog): `_snapshots/tag-<name>.json`, one
+    # file per tag so creation rides the same exclusive-create mutex as
+    # commits — no read-modify-write race on a shared registry file. The
+    # training-data use case: a run tags the exact snapshot it consumed
+    # ("corpus a model trained on"), and expiry/GC keep that snapshot
+    # reachable for as long as the tag lives.
+
+    _TAG_NAME_OK = staticmethod(
+        lambda name: bool(name) and all(c.isalnum() or c in "._-" for c in name)
+    )
+
+    def _tag_path(self, name: str) -> str:
+        if not self._TAG_NAME_OK(name):
+            raise ValueError(f"bad tag name {name!r} (alnum . _ - only)")
+        return os.path.join(self.dir, f"tag-{name}.json")
+
+    def set_tag(self, name: str, snapshot_id: int | None = None, replace: bool = False) -> dict:
+        """Pin ``name`` to ``snapshot_id`` (default: HEAD). Exclusive by
+        default (a second tagger gets FileExistsError); ``replace=True``
+        retargets atomically via os.replace."""
+        sid = snapshot_id if snapshot_id is not None else self.current_id()
+        if sid is None:
+            raise ValueError("cannot tag an empty table")
+        try:
+            self.get(sid)  # must resolve — no dangling tags
+        except FileNotFoundError:
+            raise ValueError(f"snapshot v{sid} does not exist") from None
+        rec = {"name": name, "snapshot_id": sid, "created_ms": int(time.time() * 1000)}
+        path = self._tag_path(name)
+        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(rec, f, indent=1)
+        if replace:
+            os.replace(tmp, path)
+        else:
+            try:
+                os.link(tmp, path)  # atomic create-if-absent
+            except FileExistsError:
+                raise FileExistsError(f"tag {name!r} already exists (replace=True to move)") from None
+            finally:
+                os.unlink(tmp)
+        return rec
+
+    def resolve_tag(self, name: str) -> int:
+        try:
+            with open(self._tag_path(name)) as f:
+                return int(json.load(f)["snapshot_id"])
+        except FileNotFoundError:
+            raise KeyError(f"unknown tag {name!r}") from None
+
+    def drop_tag(self, name: str) -> None:
+        try:
+            os.remove(self._tag_path(name))
+        except FileNotFoundError:
+            raise KeyError(f"unknown tag {name!r}") from None
+
+    def tags(self) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for fname in os.listdir(self.dir):
+            if fname.startswith("tag-") and fname.endswith(".json"):
+                with open(os.path.join(self.dir, fname)) as f:
+                    rec = json.load(f)
+                out[rec["name"]] = int(rec["snapshot_id"])
+        return out
+
     # -- expiry --------------------------------------------------------
     def expire(self, keep_last: int = 2) -> list[int]:
-        """Drop all but the newest ``keep_last`` snapshots (HEAD always
-        kept). Returns expired ids. Data-file GC is a separate pass
+        """Drop all but the newest ``keep_last`` snapshots (HEAD and
+        TAGGED snapshots always kept). Returns expired ids. Data-file GC
+        is a separate pass
         (:func:`hoopstat_haus_spark.lakehouse.gc.collect_garbage`) so a
-        crash between expire and GC never loses reachable data."""
+        crash between expire and GC never loses reachable data — and GC
+        derives reachability from the snapshot records expire keeps, so
+        tag protection here is all GC needs."""
         ids = self.list_ids()
         head = self.current_id()
         keep = set(ids[-keep_last:])
         if head is not None:
             keep.add(head)
+        keep.update(self.tags().values())
         expired = [i for i in ids if i not in keep]
         for sid in expired:
             os.remove(os.path.join(self.dir, f"v{sid}.json"))

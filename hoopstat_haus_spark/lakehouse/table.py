@@ -201,6 +201,7 @@ class TokenLakeTable:
         n_tok_min: int | None = None,
         n_tok_max: int | None = None,
         sources: list[str] | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
         """Snapshot-pinned scan with manifest-based file pruning.
 
@@ -215,7 +216,15 @@ class TokenLakeTable:
         even opened), then the surviving shards' per-file stats prune
         files. A source-filtered scan of a 10^4-partition table reads
         exactly the named partitions' shards.
+
+        ``tag`` pins the scan to a named snapshot ref (``set_tag``) —
+        "read the corpus tagged train-v3" — mutually exclusive with an
+        explicit ``snapshot_id``.
         """
+        if tag is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass either snapshot_id or tag, not both")
+            snapshot_id = self.log.resolve_tag(tag)
         schema = self.schema_def(snapshot_id)
         snap = self.log.get(snapshot_id) if snapshot_id else self.log.current()
         entries: list[dict] = []
@@ -564,6 +573,18 @@ class TokenLakeTable:
             if d["added_files"] or d["removed_files"]:
                 out[part] = d
         return out
+
+    # --------------------------------------------------- tags (named refs)
+    def tag(self, name: str, snapshot_id: int | None = None, replace: bool = False) -> dict:
+        """Pin a named ref to a snapshot (default HEAD); tagged snapshots
+        survive ``expire_snapshots`` + GC until the tag is dropped."""
+        return self.log.set_tag(name, snapshot_id=snapshot_id, replace=replace)
+
+    def drop_tag(self, name: str) -> None:
+        self.log.drop_tag(name)
+
+    def tags(self) -> dict[str, int]:
+        return self.log.tags()
 
     # ---------------------------------------------- maintenance: expiry
     def expire_snapshots(self, keep_last: int = 2) -> list[int]:

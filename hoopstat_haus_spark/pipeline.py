@@ -132,7 +132,12 @@ def build_training_corpus(
     #    threshold, not the link graph, defines "duplicate" here.
     pairs = _minhash_verified(shingled, near_dup_threshold)
     drop = pairs.select(F.col("doc2").alias("doc_id")).distinct()
-    near = exact.join(F.broadcast(drop), "doc_id", "left_anti").localCheckpoint(eager=False)
+    # NO broadcast hint on the drop set: near-dup fractions at web scale
+    # run 20-50% of the corpus, so the set is O(corpus) in the worst
+    # case — AQE broadcasts it when the measured size is small and falls
+    # back to a shuffle anti-join when it is not (a forced broadcast
+    # would OOM the driver exactly on the dirtiest inputs)
+    near = exact.join(drop, "doc_id", "left_anti").localCheckpoint(eager=False)
     rep.record("near_dedup", near.count())
 
     survivors = near
@@ -141,7 +146,7 @@ def build_training_corpus(
         #    still-surviving docs by ANTI-joining the small drop set (a
         #    semi-join on the survivor ids would broadcast O(corpus))
         flagged = contamination_report_from(
-            shingled.join(F.broadcast(drop), "doc_id", "left_anti"),
+            shingled.join(drop, "doc_id", "left_anti"),  # drop is unbounded — AQE picks
             benchmark,
             min_hits,
         ).select("doc_id")

@@ -22,7 +22,9 @@ Subcommands:
               (Trigger.AvailableNow; exactly-once via snapshot-stamped
               stream batch ids — re-run on a schedule for incremental
               pickup of new feed files)
-    expire    snapshot expiry + reachability GC
+    expire    snapshot expiry + reachability GC (tagged snapshots kept)
+    tag       set/list/drop named snapshot refs — pin the exact corpus
+              snapshot a training run consumed (scan(tag=...) reads it)
     evolve    add columns to the table schema (metadata-only)
     stats     print current snapshot summary + per-partition manifest rollup
     health    roll up per-job metrics into the pipeline health report
@@ -116,6 +118,13 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--table", required=True)
     e.add_argument("--keep-last", type=int, default=2)
     e.add_argument("--dry-run", action="store_true")
+
+    tg = sub.add_parser("tag")
+    tg.add_argument("--table", required=True)
+    tg.add_argument("--name", default=None, help="tag to set (omit to list tags)")
+    tg.add_argument("--snapshot", type=int, default=None, help="snapshot id (default HEAD)")
+    tg.add_argument("--replace", action="store_true", help="retarget an existing tag")
+    tg.add_argument("--drop", action="store_true", help="drop the named tag")
 
     s = sub.add_parser("stats")
     s.add_argument("--table", required=True)
@@ -343,6 +352,14 @@ def _dispatch(args, spark) -> dict:
             "reachable_files": report["reachable_files"],
             "dry_run": args.dry_run,
         }
+    if args.cmd == "tag":
+        if args.name and args.drop:
+            table.drop_tag(args.name)
+            return {"dropped": args.name, "tags": table.tags()}
+        if args.name:
+            rec = table.tag(args.name, snapshot_id=args.snapshot, replace=args.replace)
+            return {"tagged": rec, "tags": table.tags()}
+        return {"tags": table.tags()}
     if args.cmd == "evolve":
         fields = []
         for spec in args.add:

@@ -1,0 +1,97 @@
+"""Named snapshot refs (tags): reproducible-corpus pinning.
+
+The contract: a tag pins a snapshot against expiry AND GC — a training
+run that tagged its input corpus can re-read byte-identical data any
+time later, no matter how much maintenance ran in between — and tag
+creation is exclusive-create (two racing taggers cannot silently
+overwrite each other).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hoopstat_haus_spark.lakehouse import CompactionPolicy, TokenLakeTable
+from hoopstat_haus_spark.tables import synthetic, token_sig
+
+MB = 1024 * 1024
+POLICY = CompactionPolicy(min_file_bytes=1 * MB, target_file_bytes=4 * MB, max_file_bytes=8 * MB)
+
+
+def sigs(table, **kw):
+    return sorted(
+        tuple(r)
+        for r in table.scan(**kw).select("doc_id", token_sig(F.col("tokens")).alias("s")).collect()
+    )
+
+
+def test_tag_pins_through_maintenance_expiry_and_gc(spark, tmp_table_dir):
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 4000), repartition_n=6)
+    t.tag("train-v1")
+    tagged_id = t.log.resolve_tag("train-v1")
+    pinned = sigs(t, tag="train-v1")
+
+    # heavy churn after the tag: delete, compact, merge
+    t.delete_where("cast(substr(doc_id, 5) as long) % 5 = 0")
+    t.compact(POLICY)
+    from hoopstat_haus_spark.lakehouse.merge import merge_into
+
+    merge_into(t, synthetic(spark, 4010).filter("cast(substr(doc_id,5) as long) >= 4000"))
+
+    # expiry keeps the tagged snapshot even with keep_last=1
+    expired = t.expire_snapshots(keep_last=1)
+    assert tagged_id not in expired
+    assert tagged_id in t.log.list_ids()
+    report = t.collect_garbage(min_age_s=0.0)
+
+    # the tagged state is still byte-identical after expire + GC
+    assert sigs(t, tag="train-v1") == pinned
+    assert report["removed_data_files"] or True  # GC ran; reachability held
+
+    # drop the tag → the snapshot becomes expirable
+    t.drop_tag("train-v1")
+    expired2 = t.expire_snapshots(keep_last=1)
+    assert tagged_id in expired2
+    t.collect_garbage(min_age_s=0.0)
+    with pytest.raises(FileNotFoundError):
+        t.log.get(tagged_id)
+
+
+def test_tag_exclusive_create_and_replace(spark, tmp_table_dir):
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 500), repartition_n=1)
+    t.tag("gold")
+    with pytest.raises(FileExistsError):
+        t.tag("gold")
+    t.append(synthetic(spark, 510).filter("cast(substr(doc_id,5) as long) >= 500"), repartition_n=1)
+    t.tag("gold", replace=True)
+    assert t.tags()["gold"] == t.log.current_id()
+
+    with pytest.raises(KeyError):
+        t.drop_tag("nope")
+    with pytest.raises(KeyError):
+        t.scan(tag="nope")
+    with pytest.raises(ValueError):
+        t.tag("bad/name")
+    with pytest.raises(ValueError):
+        t.scan(tag="gold", snapshot_id=1)
+    with pytest.raises(ValueError):
+        t.log.set_tag("dangling", snapshot_id=999)
+
+
+def test_tag_cli(spark, tmp_table_dir, capsys):
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"))
+    import maintenance_job
+
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 500), repartition_n=1)
+
+    def run(*argv):
+        assert maintenance_job.main(list(argv)) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    out = run("tag", "--table", t.path, "--name", "rel-1")
+    assert out["tagged"]["snapshot_id"] == t.log.current_id()
+    assert run("tag", "--table", t.path)["tags"] == {"rel-1": t.log.current_id()}
+    assert run("tag", "--table", t.path, "--name", "rel-1", "--drop")["tags"] == {}
