@@ -61,11 +61,17 @@ def changed_files(table: TokenLakeTable, from_id: int, to_id: int) -> tuple[list
 
 
 def table_changes(
-    table: TokenLakeTable, from_id: int, to_id: int | None = None
+    table: TokenLakeTable, from_id: int, to_id: int | None = None, preimage: bool = False
 ) -> DataFrame:
     """Row-level net changes from snapshot ``from_id`` to ``to_id``
     (default: the current head). Returns the TO-snapshot schema plus
-    ``_change`` ∈ {insert, update, delete}."""
+    ``_change`` ∈ {insert, update, delete}.
+
+    ``preimage=True`` switches to Delta-CDF-style update pairs: each
+    updated key emits TWO rows — ``update_pre`` (FROM values) and
+    ``update_post`` (TO values) — which is what makes downstream
+    aggregates incrementally maintainable (subtract the preimage, add
+    the postimage; see lakehouse/incremental.py)."""
     to_id = to_id if to_id is not None else table.log.current_id()
     schema = table.schema_def(to_id)
     names = schema.names()
@@ -102,10 +108,33 @@ def table_changes(
     new_side = read_side(added, "n")
     old_side = read_side(removed, "o")
     joined = new_side.join(old_side, ["doc_id", "source"], "full_outer")
+    is_del = F.col("n_sig").isNull()
+    is_ins = F.col("o_sig").isNull()
+    is_upd = ~is_del & ~is_ins & (F.col("n_sig") != F.col("o_sig"))
+    if preimage:
+        # updates fan out to (pre, post) via a 2-element explode; the
+        # expression stays fully native (no shuffle added — explode is a
+        # narrow generator over the join output)
+        emitted = (
+            F.when(is_del, F.array(F.struct(F.col("o_v").alias("v"), F.lit("delete").alias("k"))))
+            .when(is_ins, F.array(F.struct(F.col("n_v").alias("v"), F.lit("insert").alias("k"))))
+            .when(
+                is_upd,
+                F.array(
+                    F.struct(F.col("o_v").alias("v"), F.lit("update_pre").alias("k")),
+                    F.struct(F.col("n_v").alias("v"), F.lit("update_post").alias("k")),
+                ),
+            )
+        )
+        ex = joined.select("doc_id", "source", F.explode(emitted).alias("e"))
+        out_cols = [
+            (F.col(c) if c in ("doc_id", "source") else F.col("e.v")[c]).alias(c) for c in names
+        ]
+        return ex.select(*out_cols, F.col("e.k").alias(CHANGE_COL))
     change = (
-        F.when(F.col("n_sig").isNull(), F.lit("delete"))
-        .when(F.col("o_sig").isNull(), F.lit("insert"))
-        .when(F.col("n_sig") != F.col("o_sig"), F.lit("update"))
+        F.when(is_del, F.lit("delete"))
+        .when(is_ins, F.lit("insert"))
+        .when(is_upd, F.lit("update"))
     )
     picked = F.when(change == "delete", F.col("o_v")).otherwise(F.col("n_v"))
     out_cols = [
