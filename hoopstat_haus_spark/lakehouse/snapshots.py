@@ -74,6 +74,18 @@ class SnapshotLog:
                 out.append(int(name[1:-5]))
         return sorted(out)
 
+    def snapshot_as_of(self, ts_ms: int) -> int:
+        """Newest RETAINED snapshot committed at or before ``ts_ms``
+        (Delta's TIMESTAMP AS OF). Raises if every retained snapshot is
+        newer — time travel can't reach past expiry."""
+        best = None
+        for sid in self.list_ids():
+            if self.get(sid).timestamp_ms <= ts_ms:
+                best = sid
+        if best is None:
+            raise ValueError(f"no retained snapshot at or before ts_ms={ts_ms}")
+        return best
+
     # -- commits -------------------------------------------------------
     def commit(
         self,

@@ -202,6 +202,7 @@ class TokenLakeTable:
         n_tok_max: int | None = None,
         sources: list[str] | None = None,
         tag: str | None = None,
+        as_of_ms: int | None = None,
     ) -> DataFrame:
         """Snapshot-pinned scan with manifest-based file pruning.
 
@@ -217,14 +218,17 @@ class TokenLakeTable:
         files. A source-filtered scan of a 10^4-partition table reads
         exactly the named partitions' shards.
 
-        ``tag`` pins the scan to a named snapshot ref (``set_tag``) —
-        "read the corpus tagged train-v3" — mutually exclusive with an
-        explicit ``snapshot_id``.
+        ``tag`` pins the scan to a named snapshot ref (``set_tag``),
+        ``as_of_ms`` to the newest retained snapshot committed at or
+        before that timestamp (Delta's TIMESTAMP AS OF) — each mutually
+        exclusive with an explicit ``snapshot_id`` and each other.
         """
+        if sum(x is not None for x in (snapshot_id, tag, as_of_ms)) > 1:
+            raise ValueError("pass at most one of snapshot_id, tag, as_of_ms")
         if tag is not None:
-            if snapshot_id is not None:
-                raise ValueError("pass either snapshot_id or tag, not both")
             snapshot_id = self.log.resolve_tag(tag)
+        if as_of_ms is not None:
+            snapshot_id = self.log.snapshot_as_of(as_of_ms)
         schema = self.schema_def(snapshot_id)
         snap = self.log.get(snapshot_id) if snapshot_id else self.log.current()
         entries: list[dict] = []

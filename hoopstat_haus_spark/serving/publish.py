@@ -150,6 +150,7 @@ def publish_table_artifacts(
     out_root: str,
     rollups: dict[str, object],
     snapshot_id: int | None = None,
+    tag: str | None = None,
     max_artifact_bytes: int = MAX_ARTIFACT_BYTES,
 ) -> dict:
     """Publish rollups of a :class:`TokenLakeTable` from ONE pinned
@@ -166,7 +167,15 @@ def publish_table_artifacts(
 
     ``rollups`` maps artifact name → callable(DataFrame) → DataFrame,
     each receiving the PINNED scan.
+
+    ``tag`` publishes a NAMED snapshot ref ("serve the corpus a model
+    trained on"): it resolves once at entry and the tag name rides the
+    index next to the resolved snapshot id.
     """
+    if tag is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass either snapshot_id or tag, not both")
+        snapshot_id = table.log.resolve_tag(tag)
     pinned = snapshot_id if snapshot_id is not None else table.log.current_id()
     artifacts = []
     datasets = {}
@@ -187,6 +196,7 @@ def publish_table_artifacts(
         "published_at_ms": int(time.time() * 1000),
         "table_path": table.path,
         "snapshot_id": pinned,
+        **({"tag": tag} if tag is not None else {}),
         "datasets": datasets,
         "artifacts": artifacts,
     }

@@ -127,6 +127,65 @@ def mixing_report(tokens_df: DataFrame, budgets: dict[str, int], salt: str = "mi
     )
 
 
+def with_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    salt: str = "split",
+    col_name: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: one ``split`` column from
+    consecutive u32 intervals of the same content-keyed hash the mixture
+    gate uses.
+
+    Properties a training build needs from its split:
+
+    - **disjoint + exhaustive** by construction (consecutive intervals;
+      when the fractions sum to 1 the last interval closes at 2³², so
+      float rounding can't orphan a row — fractions summing short leave
+      the remainder as NULL, an explicit discard-holdout);
+    - **deterministic & engine-independent**: a pure function of
+      (doc_id, salt, fractions) — no partitioning, no RNG state, so the
+      same doc lands in the same split on any cluster size, engine, or
+      re-run, and **stays there as the corpus grows** (append + re-split
+      never moves a doc across the train/eval boundary — the property
+      that prevents silent eval-set leakage over time);
+    - **leakage-free w.r.t. exact content** once the pipeline's dedup
+      stages ran (one doc_id per content digest): near-duplicate leakage
+      is the dedup stages' job, not the splitter's.
+
+    Stateless projection — no shuffle, no driver data path.
+    """
+    if not fractions:
+        raise ValueError("fractions must name at least one split")
+    bad = {k: v for k, v in fractions.items() if not 0.0 < v <= 1.0}
+    if bad:
+        raise ValueError(f"fractions must be in (0, 1]: {bad}")
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    expr = None
+    acc = 0.0
+    for name, frac in fractions.items():
+        acc += frac
+        hi = _U32 if acc >= 1.0 - 1e-12 else int(acc * _U32)
+        cond = F.col("_split_h") < F.lit(hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return (
+        df.withColumn("_split_h", _u32_hash(salt))
+        .withColumn(col_name, expr.otherwise(F.lit(None).cast("string")))
+        .drop("_split_h")
+    )
+
+
+def split_corpus(
+    df: DataFrame, fractions: dict[str, float], salt: str = "split"
+) -> dict[str, DataFrame]:
+    """{split_name: DataFrame} — the filtered views of :func:`with_split`
+    (each a stateless filter over the input; no materialization)."""
+    tagged = with_split(df, fractions, salt)
+    return {name: tagged.filter(F.col("split") == name).drop("split") for name in fractions}
+
+
 def mixed_corpus_sql(thresholds: dict[str, int], salt: str, tok_inner: str) -> str:
     """DuckDB SQL for the same sampled corpus, given the thresholds
     :func:`plan_mixture` computed (the plan is driver-side metadata; the

@@ -119,3 +119,68 @@ def test_mixing_plans_from_manifest_metadata(spark, tmp_table_dir):
     )
     # unbudgeted: empty without error
     assert mixed_corpus_from_table(t, {}).count() == 0
+
+
+class TestSplit:
+    def test_disjoint_exhaustive_deterministic(self, spark):
+        from hoopstat_haus_spark.tables.mixing import split_corpus, with_split
+        from hoopstat_haus_spark.tables import synthetic
+
+        docs = synthetic(spark, 4000)
+        fr = {"train": 0.9, "val": 0.05, "test": 0.05}
+        tagged = with_split(docs, fr)
+        n = docs.count()
+        counts = {r["split"]: r["n"] for r in
+                  tagged.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert None not in counts and sum(counts.values()) == n  # exhaustive
+        assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+        # approximate the fractions within sampling noise (4σ)
+        import math
+        for name, frac in fr.items():
+            sd = math.sqrt(n * frac * (1 - frac))
+            assert abs(counts[name] - n * frac) < 4 * sd + 1
+
+        # python-recompute oracle: the assignment is a pure function
+        import hashlib
+        rows = tagged.select("doc_id", "split").collect()
+        for r in rows[:500]:
+            h = int(hashlib.md5((r["doc_id"] + "split").encode()).hexdigest()[:8], 16)
+            expect = "train" if h < int(0.9 * 2**32) else (
+                "val" if h < int(0.95 * 2**32) else "test")
+            assert r["split"] == expect, r
+
+        # split_corpus views are the same partition of the corpus
+        parts = split_corpus(docs, fr)
+        assert sum(v.count() for v in parts.values()) == n
+
+    def test_split_stable_under_corpus_growth(self, spark):
+        from hoopstat_haus_spark.tables.mixing import with_split
+        from hoopstat_haus_spark.tables import synthetic
+
+        fr = {"train": 0.8, "val": 0.2}
+        small = {r["doc_id"]: r["split"]
+                 for r in with_split(synthetic(spark, 1000), fr).select("doc_id", "split").collect()}
+        big = {r["doc_id"]: r["split"]
+               for r in with_split(synthetic(spark, 3000), fr).select("doc_id", "split").collect()}
+        assert all(big[d] == s for d, s in small.items())  # no doc ever moves
+
+    def test_split_short_fractions_leave_null_holdout(self, spark):
+        from hoopstat_haus_spark.tables.mixing import with_split
+        from hoopstat_haus_spark.tables import synthetic
+
+        tagged = with_split(synthetic(spark, 2000), {"train": 0.5})
+        n_null = tagged.filter(F.col("split").isNull()).count()
+        assert 0 < n_null < 2000
+
+    def test_split_validation(self, spark):
+        import pytest as _pytest
+        from hoopstat_haus_spark.tables.mixing import with_split
+        from hoopstat_haus_spark.tables import synthetic
+
+        docs = synthetic(spark, 10)
+        with _pytest.raises(ValueError):
+            with_split(docs, {})
+        with _pytest.raises(ValueError):
+            with_split(docs, {"a": 0.0})
+        with _pytest.raises(ValueError):
+            with_split(docs, {"a": 0.7, "b": 0.4})

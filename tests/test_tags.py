@@ -95,3 +95,47 @@ def test_tag_cli(spark, tmp_table_dir, capsys):
     assert out["tagged"]["snapshot_id"] == t.log.current_id()
     assert run("tag", "--table", t.path)["tags"] == {"rel-1": t.log.current_id()}
     assert run("tag", "--table", t.path, "--name", "rel-1", "--drop")["tags"] == {}
+
+
+def test_scan_as_of_timestamp(spark, tmp_table_dir):
+    import time
+
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 600), repartition_n=1)
+    v1 = t.log.current()
+    time.sleep(0.02)  # ms-resolution timestamps must differ
+    t.append(synthetic(spark, 650).filter("cast(substr(doc_id,5) as long) >= 600"), repartition_n=1)
+    v2 = t.log.current()
+    assert v2.timestamp_ms > v1.timestamp_ms
+
+    assert t.scan(as_of_ms=v1.timestamp_ms).count() == 600
+    assert t.scan(as_of_ms=v2.timestamp_ms).count() == 650
+    assert t.scan(as_of_ms=v2.timestamp_ms + 10_000).count() == 650
+    with pytest.raises(ValueError):
+        t.scan(as_of_ms=v1.timestamp_ms - 10_000)  # before the first commit
+    with pytest.raises(ValueError):
+        t.scan(as_of_ms=v1.timestamp_ms, tag="x")  # mutually exclusive
+
+
+def test_publish_from_tag(spark, tmp_table_dir, tmp_path):
+    import json
+    import os
+
+    from hoopstat_haus_spark.serving import publish_table_artifacts
+
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 800), repartition_n=2)
+    t.tag("train-v1")
+    tagged_id = t.log.current_id()
+    t.append(synthetic(spark, 900).filter("cast(substr(doc_id,5) as long) >= 800"), repartition_n=1)
+
+    def by_source(df):
+        return df.groupBy("source").agg(F.count(F.lit(1)).alias("n")).orderBy("source")
+
+    root = str(tmp_path / "gold")
+    index = publish_table_artifacts(t, root, {"by_source": by_source}, tag="train-v1")
+    assert index["snapshot_id"] == tagged_id and index["tag"] == "train-v1"
+    with open(os.path.join(root, "by_source", "latest", "0000.json")) as f:
+        rows = [json.loads(x) for x in f.read().strip().splitlines()]
+    assert sum(r["n"] for r in rows) == 800  # tagged state, not head
+
+    with pytest.raises(ValueError):
+        publish_table_artifacts(t, root, {"x": by_source}, snapshot_id=1, tag="train-v1")
