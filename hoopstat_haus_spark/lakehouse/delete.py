@@ -1,10 +1,12 @@
-"""DELETE WHERE: predicate delete as a file-pruned copy-on-write rewrite.
+"""Row-level DML as file-pruned copy-on-write rewrites: DELETE + UPDATE.
 
 Reference ancestor: the replay engine's "overwrite the one object that
 holds the bad rows" pattern (``apps/bronze-ingestion/app/replay.py``,
 write-back ``:425-458``) — generalized here from key-addressed patches to
-arbitrary-predicate row deletes with Iceberg ``DELETE FROM`` semantics
-(rows where the predicate is TRUE are removed; NULL/FALSE rows survive).
+arbitrary-predicate row DML with Iceberg semantics: ``DELETE FROM``
+removes rows where the predicate is TRUE (NULL/FALSE rows survive);
+``UPDATE SET`` rewrites matching rows in place (see update.py, which
+shares this module's find/commit halves).
 
 Scale design (two passes, both bounded by the predicate):
 
@@ -72,20 +74,22 @@ def delete_where(
         raise
 
 
-def _delete_run(
+def find_touched_files(
     table: TokenLakeTable,
-    condition: Column | str,
-    job_id: str,
+    pred: Column,
     sources: list[str] | None,
-    curve: str,
     metrics: JobMetrics,
-) -> tuple[Snapshot | None, JobMetrics]:
-    spark = table.spark
-    pred = F.expr(condition) if isinstance(condition, str) else condition
-    head = table.log.current()
-    schema = table.schema_def()
+):
+    """Pass 1 (shared by DELETE/UPDATE): column-pruned predicate scan →
+    manifest entries of the files holding ≥1 match.
 
-    # ---- pass 1: find touched files (column-pruned, predicate pushed) --
+    Returns ``(head, matched_rows, cand, shard_entries)`` where ``cand``
+    is the touched files' manifest entries (sorted by path) and
+    ``shard_entries`` maps each touched PARTITION to its full entry list
+    (only those partitions' shards are materialized driver-side).
+    ``cand`` is empty when nothing matches.
+    """
+    head = table.log.current()
     scan = table.scan(sources=sources)
     hits = (
         scan.filter(pred)
@@ -103,7 +107,7 @@ def _delete_run(
     touched = {to_rel(r["file_uri"]): r["n_matched"] for r in hits}
     matched_rows = int(sum(touched.values()))
     if not touched:
-        return None, metrics.finish()
+        return head, 0, [], {}
 
     # only the touched partitions' shards are materialized driver-side
     records = mf.read_manifest_list(table.path, head.manifest)
@@ -115,24 +119,78 @@ def _delete_run(
     }
     by_path = {e["file_path"]: e for es in shard_entries.values() for e in es}
     cand = [by_path[p] for p in sorted(touched) if p in by_path]
-    cand_paths = [e["file_path"] for e in cand]
-    metrics.files_in = len(cand_paths)
+    metrics.files_in = len(cand)
     metrics.bytes_in = sum(e["file_bytes"] for e in cand)
     metrics.partitions = len({e["partition"] for e in cand})
     metrics.rows = sum(e["row_count"] for e in cand)
     metrics.tokens = sum(e["token_count"] for e in cand)
+    return head, matched_rows, cand, shard_entries
+
+
+def read_touched(table: TokenLakeTable, schema, cand_paths: list[str]):
+    """Full-row read of exactly the touched files, defaults applied."""
+    df = (
+        table.spark.read.option("basePath", table.data_dir)
+        .schema(schema.ddl(extra=((mf.ZKEY_COL, "long"),)))
+        .parquet(*[os.path.join(table.path, p) for p in cand_paths])
+        .drop(mf.ZKEY_COL)
+    )
+    return schema.apply_defaults(df)
+
+
+def commit_rewrite(
+    table: TokenLakeTable,
+    head: Snapshot,
+    schema,
+    cand: list[dict],
+    shard_entries: dict[str, list[dict]],
+    fresh: list[dict],
+    operation: str,
+    summary: dict,
+) -> Snapshot:
+    """Shared commit half: drop the rewritten files, add the fresh ones,
+    write new shards ONLY for touched partitions (others carried by
+    reference), commit with optimistic concurrency."""
+    dropped = {e["file_path"] for e in cand}
+    fresh_by_part: dict[str, list[dict]] = {}
+    for e in fresh:
+        fresh_by_part.setdefault(e["partition"], []).append(e)
+    changed_parts = {e["partition"] for e in cand} | set(fresh_by_part)
+    changed = {
+        part: [e for e in shard_entries.get(part, []) if e["file_path"] not in dropped]
+        + fresh_by_part.get(part, [])
+        for part in changed_parts
+    }
+    rel, new_records = mf.update_manifest(table.path, head.manifest, changed)
+    summary = dict(summary)
+    summary["rows"] = mf.summary_from_records(new_records)["rows"]
+    summary["schema_version"] = schema.version
+    return table.log.commit(rel, operation, summary, expected_parent=head.snapshot_id)
+
+
+def _delete_run(
+    table: TokenLakeTable,
+    condition: Column | str,
+    job_id: str,
+    sources: list[str] | None,
+    curve: str,
+    metrics: JobMetrics,
+) -> tuple[Snapshot | None, JobMetrics]:
+    spark = table.spark
+    pred = F.expr(condition) if isinstance(condition, str) else condition
+    schema = table.schema_def()
+
+    # ---- pass 1: find touched files (column-pruned, predicate pushed) --
+    head, matched_rows, cand, shard_entries = find_touched_files(table, pred, sources, metrics)
+    if not cand:
+        return None, metrics.finish()
+    cand_paths = [e["file_path"] for e in cand]
 
     # ---- pass 2: rewrite only touched files ---------------------------
     ckpt = JobCheckpoint(table.path, job_id)
     ckpt.intent("rewrite", cand_paths)
     t0 = time.time()
-    target = (
-        spark.read.option("basePath", table.data_dir)
-        .schema(schema.ddl(extra=((mf.ZKEY_COL, "long"),)))
-        .parquet(*[os.path.join(table.path, p) for p in cand_paths])
-        .drop(mf.ZKEY_COL)
-    )
-    target = schema.apply_defaults(target)
+    target = read_touched(table, schema, cand_paths)
     survivors = target.filter(~F.coalesce(pred, F.lit(False)))
     survivors = with_zkey(survivors, curve=curve).sortWithinPartitions("source", mf.ZKEY_COL)
     new_files = table._write_files(survivors, f"delete-{job_id}", repartition_n=None)
@@ -149,29 +207,20 @@ def _delete_run(
     )
 
     # ---- commit: new shards only for touched partitions ---------------
-    dropped = set(cand_paths)
-    fresh_by_part: dict[str, list[dict]] = {}
-    for e in fresh:
-        fresh_by_part.setdefault(e["partition"], []).append(e)
-    changed_parts = {e["partition"] for e in cand} | set(fresh_by_part)
-    changed = {
-        part: [e for e in shard_entries.get(part, []) if e["file_path"] not in dropped]
-        + fresh_by_part.get(part, [])
-        for part in changed_parts
-    }
-    rel, new_records = mf.update_manifest(table.path, head.manifest, changed)
-    snap = table.log.commit(
-        rel,
+    snap = commit_rewrite(
+        table,
+        head,
+        schema,
+        cand,
+        shard_entries,
+        fresh,
         "delete",
         {
             "job_id": job_id,
             "matched_rows": matched_rows,
             "rewritten_files": len(cand_paths),
             "new_files": len(fresh),
-            "rows": mf.summary_from_records(new_records)["rows"],
-            "schema_version": schema.version,
         },
-        expected_parent=head.snapshot_id,
     )
     metrics.finish()
     from hoopstat_haus_spark.lakehouse.health import record_job_metrics

@@ -191,16 +191,34 @@ def gc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     — true only if ≥1 orphan was removed AND every removed path is gone
     AND a dry-run rerun finds nothing left — is pinned TRUE.
 
-    A predicate DELETE (every 97th doc) runs between create and compact:
-    the oracle's WHERE mirror value-checks the delete (survivor sums are
-    exact), the delete's replaced files become extra orphans the GC
-    invariant must clean, and the CDC feed across the delete must emit
-    exactly the matched count as deletes (folded into the pinned flag)."""
-    t = TokenLakeTable.create(spark, _scratch("gc"), from_documents(spark, sf_dir), repartition_n=8)
-    pre_delete = t.log.current_id()
-    del_snap, _m = t.delete_where("cast(substr(doc_id, 5) as bigint) % 97 = 0")
+    Row-level DML runs between create and compact, value-checked by the
+    oracle's mirrors and CDC-pinned per op:
+
+    - a predicate UPDATE (src3 docs with num%40==3, tokens+3) — the oracle
+      CASE-WHEN mirrors the assignment, partition-scoped find pass, CDC
+      across it must emit exactly {update: matched};
+    - a predicate DELETE (every 97th doc) — the oracle's WHERE mirror
+      value-checks survivors, CDC must emit {delete: matched}.
+
+    Both ops' replaced files become extra orphans the GC invariant must
+    clean (all folded into the pinned flag)."""
     from hoopstat_haus_spark.lakehouse.changes import changes_summary, table_changes
 
+    t = TokenLakeTable.create(spark, _scratch("gc"), from_documents(spark, sf_dir), repartition_n=8)
+    pre_update = t.log.current_id()
+    upd_snap, _m = t.update_where(
+        "source = 'src3' and cast(substr(doc_id, 5) as bigint) % 40 = 3",
+        {"tokens": "transform(tokens, x -> cast(x + 3 as int))"},
+        sources=["src3"],
+    )
+    update_ok = (
+        upd_snap is not None
+        and upd_snap.summary["matched_rows"] > 0
+        and changes_summary(table_changes(t, pre_update))
+        == {"update": upd_snap.summary["matched_rows"]}
+    )
+    pre_delete = t.log.current_id()
+    del_snap, _m = t.delete_where("cast(substr(doc_id, 5) as bigint) % 97 = 0")
     cdc = changes_summary(table_changes(t, pre_delete))
     delete_ok = (
         del_snap is not None
@@ -213,7 +231,7 @@ def gc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     removed = report["removed_data_files"]
     all_gone = all(not os.path.exists(os.path.join(t.path, r)) for r in removed)
     rerun_clean = not t.collect_garbage(min_age_s=0.0)["removed_data_files"]
-    gc_ok = bool(removed) and all_gone and rerun_clean and delete_ok
+    gc_ok = bool(removed) and all_gone and rerun_clean and delete_ok and update_ok
     return rollup(t.scan()).withColumn("gc_removed_orphans", F.lit(gc_ok))
 
 
@@ -288,17 +306,25 @@ ORACLE = {
                TRUE AS cdc_compaction_silent
         FROM {_tokens_sql()} t GROUP BY source ORDER BY source
     """,
-    # post-GC scan must equal the derivation MINUS the predicate-deleted
-    # docs (the oracle value-checks delete_where); orphan removal +
-    # delete-CDC consistency are Spark/driver-side invariants pinned TRUE
+    # post-GC scan must equal the derivation with the UPDATE's CASE-WHEN
+    # mirror applied (tokens+3 on src3's num%40==3 docs) MINUS the
+    # predicate-deleted docs (value-checking update_where AND
+    # delete_where); orphan removal + per-op CDC consistency are
+    # Spark/driver-side invariants pinned TRUE
     "maint_gc_scan": f"""
         SELECT source, COUNT(*) AS n_docs,
                CAST(SUM(n_tok) AS BIGINT) AS sum_n_tok,
                CAST(SUM(list_sum(tokens)) AS BIGINT) AS sum_tok_checksum,
                TRUE AS gc_removed_orphans
-        FROM {_tokens_sql()} t
-        WHERE CAST(substr(doc_id, 5) AS BIGINT) % 97 != 0
-        GROUP BY source ORDER BY source
+        FROM (
+          SELECT source, n_tok,
+                 CASE WHEN source = 'src3'
+                           AND CAST(substr(doc_id, 5) AS BIGINT) % 40 = 3
+                      THEN list_transform(tokens, x -> CAST(x + 3 AS INTEGER))
+                      ELSE tokens END AS tokens
+          FROM {_tokens_sql()} t
+          WHERE CAST(substr(doc_id, 5) AS BIGINT) % 97 != 0
+        ) GROUP BY source ORDER BY source
     """,
     "maint_merge_scan": _ROLLUP_SQL.format(
         src=f"""(

@@ -536,6 +536,22 @@ class TokenLakeTable:
 
         return delete_where(self, condition, job_id=job_id, sources=sources, curve=curve)
 
+    # ------------------------------------------- maintenance: row update
+    def update_where(
+        self,
+        condition,
+        assignments: dict,
+        job_id: str | None = None,
+        sources: list[str] | None = None,
+        curve: str = "zorder",
+    ):
+        """Predicate UPDATE SET (copy-on-write; see lakehouse/update.py)."""
+        from hoopstat_haus_spark.lakehouse.update import update_where
+
+        return update_where(
+            self, condition, assignments, job_id=job_id, sources=sources, curve=curve
+        )
+
     # ------------------------------------------------- change data feed
     def changes(self, from_snapshot_id: int, to_snapshot_id: int | None = None) -> DataFrame:
         """Row-level net changes between snapshots (lakehouse/changes.py)."""

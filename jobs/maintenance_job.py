@@ -15,6 +15,8 @@ Subcommands:
     delete    DELETE FROM ... WHERE <sql predicate> (file-pruned CoW;
               GDPR-style row removal — only files holding a match are
               rewritten, the rest carry by reference)
+    update    UPDATE ... SET col=expr WHERE <sql predicate> (same
+              file-pruned CoW find/rewrite as delete; RHS sees OLD row)
     changes   row-level net change feed between two snapshots
               (insert/update/delete classification; optional --out
               parquet for downstream incremental consumers)
@@ -107,6 +109,19 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--where", required=True, help="SQL predicate; rows where it is TRUE are deleted")
     d.add_argument("--sources", default=None, help="comma-separated partition list to restrict the find pass")
     d.add_argument("--job-id", default=None)
+
+    u = sub.add_parser("update")
+    u.add_argument("--table", required=True)
+    u.add_argument("--where", required=True, help="SQL predicate; rows where it is TRUE are updated")
+    u.add_argument(
+        "--set",
+        action="append",
+        required=True,
+        metavar="COL=EXPR",
+        help="assignment (repeatable); EXPR is SQL over the OLD row",
+    )
+    u.add_argument("--sources", default=None, help="comma-separated partition list to restrict the find pass")
+    u.add_argument("--job-id", default=None)
 
     ch = sub.add_parser("changes")
     ch.add_argument("--table", required=True)
@@ -305,6 +320,23 @@ def _dispatch(args, spark) -> dict:
         out["snapshot"] = snap.snapshot_id if snap else None
         out["matched_rows"] = snap.summary["matched_rows"] if snap else 0
         out["where"] = args.where
+        return out
+    if args.cmd == "update":
+        sources = args.sources.split(",") if args.sources else None
+        assignments = {}
+        for item in args.set:
+            col, _, expr = item.partition("=")
+            if not _ or not col.strip() or not expr.strip():
+                raise SystemExit(f"bad --set {item!r} (want COL=EXPR)")
+            assignments[col.strip()] = expr.strip()
+        snap, metrics = table.update_where(
+            args.where, assignments, job_id=args.job_id, sources=sources
+        )
+        out = metrics.to_dict()
+        out["snapshot"] = snap.snapshot_id if snap else None
+        out["matched_rows"] = snap.summary["matched_rows"] if snap else 0
+        out["where"] = args.where
+        out["set"] = sorted(assignments)
         return out
     if args.cmd == "changes":
         from hoopstat_haus_spark.lakehouse.changes import changes_summary, table_changes
