@@ -198,9 +198,14 @@ def gc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
       CASE-WHEN mirrors the assignment, partition-scoped find pass, CDC
       across it must emit exactly {update: matched};
     - a predicate DELETE (every 97th doc) — the oracle's WHERE mirror
-      value-checks survivors, CDC must emit {delete: matched}.
+      value-checks survivors, CDC must emit {delete: matched};
+    - a ROLLBACK round-trip (restore pre-update, then roll forward) —
+      metadata-only manifest restore: CDC to the restored snapshot must
+      net to zero against pre_update, the inverse feed must reinsert
+      exactly the deleted docs, and the forward restore leaves the final
+      state bit-identical, so the oracle is untouched.
 
-    Both ops' replaced files become extra orphans the GC invariant must
+    All ops' replaced files become extra orphans the GC invariant must
     clean (all folded into the pinned flag)."""
     from hoopstat_haus_spark.lakehouse.changes import changes_summary, table_changes
 
@@ -225,13 +230,25 @@ def gc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         and del_snap.summary["matched_rows"] > 0
         and cdc == {"delete": del_snap.summary["matched_rows"]}
     )
+    head_before = t.log.current_id()
+    rb = t.rollback(snapshot_id=pre_update)
+    inverse = changes_summary(table_changes(t, head_before))
+    rollback_ok = (
+        rb.operation == "rollback"
+        and rb.summary["restored_snapshot_id"] == pre_update
+        and changes_summary(table_changes(t, pre_update)) == {}  # bit-identical restore
+        and inverse.get("insert") == del_snap.summary["matched_rows"]
+        and "delete" not in inverse
+    )
+    t.rollback(snapshot_id=head_before)  # roll forward; final state unchanged
+    rollback_ok = rollback_ok and changes_summary(table_changes(t, head_before)) == {}
     t.compact(TEST_POLICY)
     t.expire_snapshots(keep_last=1)
     report = t.collect_garbage(min_age_s=0.0)
     removed = report["removed_data_files"]
     all_gone = all(not os.path.exists(os.path.join(t.path, r)) for r in removed)
     rerun_clean = not t.collect_garbage(min_age_s=0.0)["removed_data_files"]
-    gc_ok = bool(removed) and all_gone and rerun_clean and delete_ok and update_ok
+    gc_ok = bool(removed) and all_gone and rerun_clean and delete_ok and update_ok and rollback_ok
     return rollup(t.scan()).withColumn("gc_removed_orphans", F.lit(gc_ok))
 
 

@@ -594,6 +594,46 @@ class TokenLakeTable:
                 out[part] = d
         return out
 
+    # ----------------------------------------------- rollback (restore)
+    def rollback(self, snapshot_id: int | None = None, tag: str | None = None) -> Snapshot:
+        """Restore the table's DATA state to an earlier snapshot as a NEW
+        commit (Iceberg ``rollback_to_snapshot`` semantics): the target's
+        manifest is carried by reference — zero data I/O, O(partitions)
+        list-file metadata, one atomic pointer swap. History stays
+        intact: the rolled-back-FROM state remains pinnable/taggable, and
+        the change feed across the rollback emits exactly the inverse of
+        the undone commits' row changes (it is an ordinary manifest
+        file-diff). GC reachability follows from the snapshot record, so
+        the restored files are protected for as long as the rollback
+        snapshot (or any tag on it) is retained.
+
+        Schema is NOT rolled back: evolution here is additive-with-
+        defaults (schema.py), so HEAD reads of the restored files under
+        the live schema fill evolved columns with their defaults — the
+        same mixed-schema contract every scan already honors. The live
+        schema version is stamped on the rollback snapshot.
+        """
+        if (snapshot_id is None) == (tag is None):
+            raise ValueError("pass exactly one of snapshot_id, tag")
+        if tag is not None:
+            snapshot_id = self.log.resolve_tag(tag)
+        head = self.log.current()
+        if head is not None and snapshot_id == head.snapshot_id:
+            raise ValueError(f"v{snapshot_id} is already HEAD")
+        try:
+            target = self.log.get(snapshot_id)
+        except FileNotFoundError:
+            raise ValueError(
+                f"snapshot v{snapshot_id} does not exist (expired or never committed)"
+            ) from None
+        summary = mf.summary_from_records(mf.read_manifest_list(self.path, target.manifest))
+        return self.log.commit(
+            target.manifest,
+            "rollback",
+            self._stamp({**summary, "restored_snapshot_id": snapshot_id}),
+            expected_parent=head.snapshot_id if head else None,
+        )
+
     # --------------------------------------------------- tags (named refs)
     def tag(self, name: str, snapshot_id: int | None = None, replace: bool = False) -> dict:
         """Pin a named ref to a snapshot (default HEAD); tagged snapshots

@@ -27,6 +27,8 @@ Subcommands:
     expire    snapshot expiry + reachability GC (tagged snapshots kept)
     tag       set/list/drop named snapshot refs — pin the exact corpus
               snapshot a training run consumed (scan(tag=...) reads it)
+    rollback  restore an earlier snapshot (by id or tag) as a NEW
+              commit — metadata-only, history preserved, CDC-inverse
     evolve    add columns to the table schema (metadata-only)
     stats     print current snapshot summary + per-partition manifest rollup
     health    roll up per-job metrics into the pipeline health report
@@ -140,6 +142,11 @@ def main(argv: list[str] | None = None) -> int:
     tg.add_argument("--snapshot", type=int, default=None, help="snapshot id (default HEAD)")
     tg.add_argument("--replace", action="store_true", help="retarget an existing tag")
     tg.add_argument("--drop", action="store_true", help="drop the named tag")
+
+    rb = sub.add_parser("rollback")
+    rb.add_argument("--table", required=True)
+    rb.add_argument("--snapshot", type=int, default=None, help="snapshot id to restore")
+    rb.add_argument("--tag", default=None, help="tag to restore (instead of --snapshot)")
 
     s = sub.add_parser("stats")
     s.add_argument("--table", required=True)
@@ -336,7 +343,8 @@ def _dispatch(args, spark) -> dict:
         out["snapshot"] = snap.snapshot_id if snap else None
         out["matched_rows"] = snap.summary["matched_rows"] if snap else 0
         out["where"] = args.where
-        out["set"] = sorted(assignments)
+        # effective columns (n_tok auto-recount may ride along)
+        out["set"] = snap.summary["assigned_columns"] if snap else sorted(assignments)
         return out
     if args.cmd == "changes":
         from hoopstat_haus_spark.lakehouse.changes import changes_summary, table_changes
@@ -392,6 +400,16 @@ def _dispatch(args, spark) -> dict:
             rec = table.tag(args.name, snapshot_id=args.snapshot, replace=args.replace)
             return {"tagged": rec, "tags": table.tags()}
         return {"tags": table.tags()}
+    if args.cmd == "rollback":
+        if (args.snapshot is None) == (args.tag is None):
+            raise SystemExit("pass exactly one of --snapshot / --tag")
+        snap = table.rollback(snapshot_id=args.snapshot, tag=args.tag)
+        return {
+            "snapshot": snap.snapshot_id,
+            "restored_snapshot_id": snap.summary["restored_snapshot_id"],
+            "rows": snap.summary["rows"],
+            "files": snap.summary["files"],
+        }
     if args.cmd == "evolve":
         fields = []
         for spec in args.add:

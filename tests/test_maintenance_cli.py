@@ -180,3 +180,35 @@ def test_delete_and_changes_subcommands(spark, tmp_table_dir, capsys, tmp_path):
     out3 = _run(capsys, "delete", "--table", t.path, "--where", "doc_id = 'nope'")
     assert out3["snapshot"] is None and out3["matched_rows"] == 0
     assert t.log.current_id() == head
+
+
+def test_update_and_rollback_subcommands(spark, tmp_table_dir, capsys):
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 3000), repartition_n=4)
+    base_id = t.log.current_id()
+    pre = {r["doc_id"]: r["n_tok"] for r in t.scan().select("doc_id", "n_tok").collect()}
+
+    out = _run(
+        capsys, "update", "--table", t.path,
+        "--where", "cast(substr(doc_id, 5) as long) % 13 = 2",
+        "--set", "tokens=slice(tokens, 1, 4)",
+        "--job-id", "cli-upd",
+    )
+    assert out["snapshot"] is not None and out["matched_rows"] > 0
+    assert out["set"] == ["n_tok", "tokens"]  # auto-recount rides along
+    post = {r["doc_id"]: r["n_tok"] for r in t.scan().select("doc_id", "n_tok").collect()}
+    changed = {d for d in pre if post[d] != pre[d]}
+    assert len({d for d in pre if int(d[4:]) % 13 == 2 and pre[d] > 4} - changed) == 0
+    assert all(post[d] == 4 for d in changed)
+
+    rb = _run(capsys, "rollback", "--table", t.path, "--snapshot", str(base_id))
+    assert rb["restored_snapshot_id"] == base_id
+    assert rb["rows"] == len(pre)
+    back = {r["doc_id"]: r["n_tok"] for r in t.scan().select("doc_id", "n_tok").collect()}
+    assert back == pre
+
+    # bad arg shapes fail fast
+    import pytest
+    with pytest.raises(SystemExit):
+        _run(capsys, "update", "--table", t.path, "--where", "true", "--set", "nonsense")
+    with pytest.raises(SystemExit):
+        _run(capsys, "rollback", "--table", t.path)
