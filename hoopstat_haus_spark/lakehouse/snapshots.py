@@ -204,20 +204,27 @@ class SnapshotLog:
         return out
 
     # -- expiry --------------------------------------------------------
-    def expire(self, keep_last: int = 2) -> list[int]:
+    def expire(self, keep_last: int = 2, older_than_ms: int | None = None) -> list[int]:
         """Drop all but the newest ``keep_last`` snapshots (HEAD and
         TAGGED snapshots always kept). Returns expired ids. Data-file GC
         is a separate pass
         (:func:`hoopstat_haus_spark.lakehouse.gc.collect_garbage`) so a
         crash between expire and GC never loses reachable data — and GC
         derives reachability from the snapshot records expire keeps, so
-        tag protection here is all GC needs."""
+        tag protection here is all GC needs.
+
+        ``older_than_ms`` adds Iceberg's age cutoff: a snapshot committed
+        at or after that timestamp is NEVER expired, regardless of
+        ``keep_last`` — age only widens retention, so a retention policy
+        of "keep 7 days" cannot be narrowed by a burst of commits."""
         ids = self.list_ids()
         head = self.current_id()
         keep = set(ids[-keep_last:])
         if head is not None:
             keep.add(head)
         keep.update(self.tags().values())
+        if older_than_ms is not None:
+            keep.update(i for i in ids if self.get(i).timestamp_ms >= older_than_ms)
         expired = [i for i in ids if i not in keep]
         for sid in expired:
             os.remove(os.path.join(self.dir, f"v{sid}.json"))

@@ -647,8 +647,8 @@ class TokenLakeTable:
         return self.log.tags()
 
     # ---------------------------------------------- maintenance: expiry
-    def expire_snapshots(self, keep_last: int = 2) -> list[int]:
-        return self.log.expire(keep_last)
+    def expire_snapshots(self, keep_last: int = 2, older_than_ms: int | None = None) -> list[int]:
+        return self.log.expire(keep_last, older_than_ms=older_than_ms)
 
     def collect_garbage(self, min_age_s: float | None = None) -> dict:
         from hoopstat_haus_spark.lakehouse.gc import DEFAULT_MIN_AGE_S, collect_garbage

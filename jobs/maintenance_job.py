@@ -134,6 +134,12 @@ def main(argv: list[str] | None = None) -> int:
     e = sub.add_parser("expire")
     e.add_argument("--table", required=True)
     e.add_argument("--keep-last", type=int, default=2)
+    e.add_argument(
+        "--max-age-h",
+        type=float,
+        default=None,
+        help="never expire snapshots younger than this many hours (age widens retention)",
+    )
     e.add_argument("--dry-run", action="store_true")
 
     tg = sub.add_parser("tag")
@@ -381,7 +387,14 @@ def _dispatch(args, spark) -> dict:
             "rows": int(snap.summary.get("rows", 0)),
         }
     if args.cmd == "expire":
-        expired = table.expire_snapshots(keep_last=args.keep_last)
+        import time as _time
+
+        cutoff = (
+            int((_time.time() - args.max_age_h * 3600) * 1000)
+            if args.max_age_h is not None
+            else None
+        )
+        expired = table.expire_snapshots(keep_last=args.keep_last, older_than_ms=cutoff)
         from hoopstat_haus_spark.lakehouse.gc import collect_garbage
 
         report = collect_garbage(table.path, dry_run=args.dry_run)

@@ -139,3 +139,23 @@ def test_publish_from_tag(spark, tmp_table_dir, tmp_path):
 
     with pytest.raises(ValueError):
         publish_table_artifacts(t, root, {"x": by_source}, snapshot_id=1, tag="train-v1")
+
+
+def test_expire_age_cutoff_widens_retention(spark, tmp_table_dir):
+    """older_than_ms (Iceberg expire age): snapshots committed at or
+    after the cutoff are NEVER expired, however small keep_last is."""
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 400), repartition_n=1)
+    for k in (2, 3, 5):
+        t.update_where(f"cast(substr(doc_id,5) as long) % {k} = 0", {"n_tok": "n_tok"})
+    ids = t.log.list_ids()
+    assert len(ids) == 4
+    cutoff = t.log.get(ids[1]).timestamp_ms  # v2 and newer are "recent"
+
+    expired = t.expire_snapshots(keep_last=1, older_than_ms=cutoff)
+    assert expired == [ids[0]]                      # only the pre-cutoff one
+    assert t.log.list_ids() == ids[1:]              # everything recent kept
+
+    # without the cutoff, keep_last=1 drops the rest (HEAD kept)
+    expired2 = t.expire_snapshots(keep_last=1)
+    assert expired2 == ids[1:3]
+    assert t.log.list_ids() == [ids[3]]
