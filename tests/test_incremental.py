@@ -96,6 +96,18 @@ def test_incremental_refresh_tracks_full_recompute(table, spark):
     v.refresh()
     assert view_rows(v) == full_rollup(table)
 
+    # predicate UPDATE folds via its update_pre/update_post pairs
+    pre_upd_id = table.log.current_id()
+    pre_upd_view = view_rows(v)
+    table.update_where(f"{NUM} % 71 = 9", {"tokens": "transform(tokens, x -> cast(x + 2 as int))"})
+    v.refresh()
+    assert view_rows(v) == full_rollup(table) != pre_upd_view
+
+    # ROLLBACK: the inverse feed moves the view BACK in O(changed rows)
+    table.rollback(snapshot_id=pre_upd_id)
+    v.refresh()
+    assert view_rows(v) == pre_upd_view == full_rollup(table)
+
     # to_df matches the state
     df_rows = {r["source"]: (r["n_docs"], r["sum_n_tok"], r["sum_tok_checksum"])
                for r in v.to_df().collect()}
