@@ -110,8 +110,7 @@ def _update_run(
     assigns = {
         c: (F.expr(v) if isinstance(v, str) else v) for c, v in assignments.items()
     }
-    if "tokens" in assigns and "n_tok" not in assigns and "n_tok" in names:
-        assigns["n_tok"] = F.size(assigns["tokens"])
+    auto_ntok = "tokens" in assigns and "n_tok" not in assigns and "n_tok" in names
 
     # ---- pass 1: find touched files (shared with DELETE) ---------------
     head, matched_rows, cand, shard_entries = find_touched_files(table, pred, sources, metrics)
@@ -135,9 +134,17 @@ def _update_run(
         "*",
         *[F.when(hit, assigns[c]).otherwise(F.col(c)).alias(f"__new_{c}") for c in assigns],
     )
-    updated = staged.select(
-        *[(F.col(f"__new_{c}") if c in assigns else F.col(c)).alias(c) for c in names]
-    )
+    # auto-recounted n_tok reads size(__new_tokens), NOT a copy of the
+    # tokens expression: the double reference to a non-cheap staged
+    # column blocks CollapseProject from re-inlining it (plan-verified),
+    # so the assignment expression evaluates ONCE per matched row —
+    # duplicating it would double the rewrite's dominant per-row cost.
+    def _out(c: str) -> Column:
+        if c == "n_tok" and auto_ntok:
+            return F.size(F.col("__new_tokens"))
+        return F.col(f"__new_{c}") if c in assigns else F.col(c)
+
+    updated = staged.select(*[_out(c).alias(c) for c in names])
     updated = with_zkey(updated, curve=curve).sortWithinPartitions("source", mf.ZKEY_COL)
     new_files = table._write_files(updated, f"update-{job_id}", repartition_n=None)
     fresh = mf.compute_file_stats(spark, table.path, new_files, curve=curve)
@@ -164,7 +171,7 @@ def _update_run(
         {
             "job_id": job_id,
             "matched_rows": matched_rows,
-            "assigned_columns": sorted(assigns),
+            "assigned_columns": sorted(set(assigns) | ({"n_tok"} if auto_ntok else set())),
             "rewritten_files": len(cand_paths),
             "new_files": len(fresh),
         },
