@@ -94,6 +94,14 @@ def collect_garbage(
             for e in mf.read_shard(table_path, rec):
                 reachable_data.add(e["file_path"])
     reachable_data |= _checkpoint_protected(table_path)
+    # live write-audit-publish batches: staged but not yet published
+    # files have no snapshot referencing them, yet an audit may run
+    # longer than min_age — their entries are roots until publish or
+    # discard removes the staged record
+    from hoopstat_haus_spark.lakehouse.wap import staged_records
+
+    for rec in staged_records(table_path).values():
+        reachable_data.update(e["file_path"] for e in rec["entries"])
 
     def young(path: str) -> bool:
         try:

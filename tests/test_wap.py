@@ -1,0 +1,122 @@
+"""Write-audit-publish (lakehouse/wap.py).
+
+Verified the DML way: staged rows invisible to every committed scan,
+token-sig equality of the staged view vs the input, publish rebasing
+over a concurrent commit, exactly-once re-publish, GC treating live
+staged files as roots (and discarded ones as garbage), and the audit
+flow (validate_batch over the staged view → discard the dirty ref).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hoopstat_haus_spark.lakehouse import TokenLakeTable
+from hoopstat_haus_spark.lakehouse.gc import collect_garbage
+from hoopstat_haus_spark.lakehouse.quarantine import validate_batch
+from hoopstat_haus_spark.lakehouse.wap import (
+    discard_staged,
+    publish_staged,
+    scan_staged,
+    stage_append,
+    staged_records,
+)
+from hoopstat_haus_spark.tables import synthetic, token_sig
+
+
+def sigs(df):
+    rows = df.select("doc_id", token_sig(F.col("tokens")).alias("sig")).collect()
+    out = {r["doc_id"]: r["sig"] for r in rows}
+    assert len(out) == len(rows), "duplicate doc_id"
+    return out
+
+
+def batch(spark, n, prefix):
+    """Fresh-keyed batch: synthetic rows re-keyed so they never collide
+    with the table's own doc ids."""
+    return synthetic(spark, n).withColumn(
+        "doc_id", F.concat(F.lit(prefix + "-"), F.col("doc_id"))
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return TokenLakeTable.create(spark, str(tmp_path / "t"), synthetic(spark, 3000), repartition_n=4)
+
+
+def test_stage_is_invisible_and_scan_staged_exact(table, spark):
+    head_before = table.log.current_id()
+    src = batch(spark, 400, "wapa")
+    rec = stage_append(table, src, ref="audit1")
+    assert table.log.current_id() == head_before  # no pointer motion
+    assert "audit1" in staged_records(table.path)
+    assert rec["base_id"] == head_before
+    base = sigs(table.scan())
+    assert not any(d.startswith("wapa-") for d in base)
+    staged = sigs(scan_staged(table, "audit1"))
+    assert staged == sigs(src)
+
+
+def test_publish_rebases_over_concurrent_commit(table, spark):
+    stage_append(table, batch(spark, 300, "wapb"), ref="audit2")
+    # head moves AFTER staging: a plain append lands in between
+    table.append(batch(spark, 200, "mid"), repartition_n=2)
+    mid_head = table.log.current_id()
+    snap = publish_staged(table, "audit2")
+    assert snap.parent_id == mid_head  # rebased onto the newer head
+    assert snap.summary["wap_ref"] == "audit2"
+    final = sigs(table.scan())
+    assert sum(d.startswith("wapb-") for d in final) == 300
+    assert sum(d.startswith("mid-") for d in final) == 200
+    assert "audit2" not in staged_records(table.path)
+    # exactly-once: re-publish (crash-after-commit replay) is a no-op
+    again = publish_staged(table, "audit2")
+    assert again.snapshot_id == snap.snapshot_id
+
+
+def test_audit_flow_discard_dirty_publish_clean(table, spark):
+    dirty = batch(spark, 150, "wapc").withColumn(
+        "tokens", F.when(F.col("doc_id").endswith("0"), F.slice("tokens", 1, 2)).otherwise(F.col("tokens"))
+    )  # every *0 doc now has n_tok != size(tokens)
+    stage_append(table, dirty, ref="dirty")
+    ok, bad = validate_batch(scan_staged(table, "dirty"))
+    assert bad.count() > 0  # audit catches the corruption pre-publish
+    discard_staged(table, "dirty")
+    assert "dirty" not in staged_records(table.path)
+    with pytest.raises(KeyError):
+        publish_staged(table, "dirty")
+
+    clean = batch(spark, 150, "wapd")
+    stage_append(table, clean, ref="clean")
+    ok2, bad2 = validate_batch(scan_staged(table, "clean"))
+    assert bad2.count() == 0
+    publish_staged(table, "clean")
+    assert sum(d.startswith("wapd-") for d in sigs(table.scan())) == 150
+
+
+def test_gc_protects_live_staged_and_reaps_discarded(table, spark):
+    rec = stage_append(table, batch(spark, 120, "wape"), ref="gcref")
+    staged_files = [e["file_path"] for e in rec["entries"]]
+    assert staged_files
+    report = collect_garbage(table.path, min_age_s=0)
+    assert not set(report["removed_data_files"]) & set(staged_files)
+    for rel in staged_files:
+        assert os.path.exists(os.path.join(table.path, rel))
+    # audit still works after an aggressive GC ran underneath it
+    assert scan_staged(table, "gcref").count() == 120
+
+    discard_staged(table, "gcref")
+    report2 = collect_garbage(table.path, min_age_s=0)
+    assert set(staged_files) <= set(report2["removed_data_files"])
+    for rel in staged_files:
+        assert not os.path.exists(os.path.join(table.path, rel))
+
+
+def test_ref_hygiene(table, spark):
+    stage_append(table, batch(spark, 50, "wapf"), ref="dup")
+    with pytest.raises(FileExistsError):
+        stage_append(table, batch(spark, 50, "wapg"), ref="dup")
+    with pytest.raises(ValueError):
+        stage_append(table, batch(spark, 50, "waph"), ref="bad/ref")
+    discard_staged(table, "dup")
