@@ -258,10 +258,14 @@ def quarantine_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic planted errors (10 length_mismatch, 10 out-of-vocab,
     10 clean rows on a fresh doc-id range) → merge the clean rows →
     quarantine the rejects → replay with the standard fixes (recount /
-    clamp-vocab) → scan. The rollup must equal the closed-form oracle
-    of base ∪ fixed-batch, and ``replay_resolved_all`` — true only if
-    every quarantined row resolved, none still fail, and the sidecar is
-    empty afterwards — is pinned TRUE."""
+    clamp-vocab) → then a write-audit-publish round-trip (stage a clean
+    batch → audit passes → publish; stage a dirty batch → audit catches
+    all 8 rows → discard) → scan. The rollup must equal the closed-form
+    oracle of base ∪ fixed-batch ∪ wap-published-batch, and
+    ``replay_resolved_all`` — true only if every quarantined row
+    resolved, none still fail, the sidecar is empty afterwards, AND the
+    WAP leg held (staged invisible pre-publish, audit counts exact,
+    exactly-once republish, no staged records left) — is pinned TRUE."""
     from hoopstat_haus_spark.lakehouse.quarantine import (
         VOCAB_SIZE,
         quarantine_batch,
@@ -304,7 +308,49 @@ def quarantine_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         and rep["still_failed"] == 0
         and read_quarantine(t).count() == 0
     )
-    return rollup(t.scan()).withColumn("replay_resolved_all", F.lit(ok))
+
+    # write-audit-publish leg: a clean staged batch passes its audit and
+    # publishes (oracle mirrors its 20 rows); a dirty one is caught by
+    # the same audit and discarded without ever reaching a scan
+    from hoopstat_haus_spark.lakehouse.wap import (
+        discard_staged,
+        publish_staged,
+        scan_staged,
+        stage_append,
+        staged_records,
+    )
+
+    clean_num = F.col("id") + F.lit(960000)
+    wap_clean = spark.range(20).select(
+        F.format_string("doc-%08d", clean_num).alias("doc_id"),
+        token_expr(clean_num, F.lit(16)).alias("tokens"),
+        F.lit(16).alias("n_tok"),
+        F.lit("src0").alias("source"),
+    )
+    dirty_num = F.col("id") + F.lit(970000)
+    wap_dirty = spark.range(8).select(
+        F.format_string("doc-%08d", dirty_num).alias("doc_id"),
+        token_expr(dirty_num, F.lit(16)).alias("tokens"),
+        F.lit(20).alias("n_tok"),  # every row fails the length audit
+        F.lit("src0").alias("source"),
+    )
+    pre_publish_head = t.log.current_id()
+    stage_append(t, wap_clean, ref="gate-clean")
+    stage_append(t, wap_dirty, ref="gate-dirty")
+    staged_invisible = t.log.current_id() == pre_publish_head
+    _, bad_clean = validate_batch(scan_staged(t, "gate-clean"))
+    _, bad_dirty = validate_batch(scan_staged(t, "gate-dirty"))
+    audit_ok = bad_clean.count() == 0 and bad_dirty.count() == 8
+    discard_staged(t, "gate-dirty")
+    snap = publish_staged(t, "gate-clean")
+    wap_ok = (
+        staged_invisible
+        and audit_ok
+        and snap.summary.get("wap_ref") == "gate-clean"
+        and publish_staged(t, "gate-clean").snapshot_id == snap.snapshot_id
+        and staged_records(t.path) == {}
+    )
+    return rollup(t.scan()).withColumn("replay_resolved_all", F.lit(ok and wap_ok))
 
 
 def _tokens_sql() -> str:
@@ -378,6 +424,14 @@ ORACLE["maint_quarantine_scan"] = f"""
                     ELSE ((950000 + i) * {_MULT} + k * {_STEP}) % {_VOCAB} END
                AS INTEGER)) AS tokens
       FROM range(30) r(i)
+      UNION ALL
+      -- the write-audit-publish leg's published clean batch (the dirty
+      -- staged batch is discarded pre-publish and never reaches a scan)
+      SELECT 'src0' AS source, 16 AS n_tok,
+             list_transform(range(0, 16), k -> CAST(
+               ((960000 + i) * {_MULT} + k * {_STEP}) % {_VOCAB}
+               AS INTEGER)) AS tokens
+      FROM range(20) w(i)
     ) GROUP BY source ORDER BY source
 """.replace("{base}", _tokens_sql())
 
