@@ -32,6 +32,11 @@ Subcommands:
     evolve    add columns to the table schema (metadata-only)
     stats     print current snapshot summary + per-partition manifest rollup
     health    roll up per-job metrics into the pipeline health report
+    wap       write-audit-publish: stage a parquet batch without
+              committing, audit the staged rows, publish (rebased onto
+              the current head, exactly-once) or discard; list shows
+              live staged refs — publish refuses a failing audit
+              unless --skip-audit
     corpus    run the training-corpus pipeline (quality → dedup →
               decontaminate → tokenize, optional mixture budgets and
               sequence packing) from a documents dir to parquet
@@ -196,6 +201,22 @@ def main(argv: list[str] | None = None) -> int:
         help="deterministic training-order shuffle of packed sequences into N output shards",
     )
     cp.add_argument("--job-id", default=None)
+
+    w = sub.add_parser("wap")
+    w.add_argument(
+        "action",
+        choices=["stage", "audit", "publish", "discard", "list"],
+        help="write-audit-publish step",
+    )
+    w.add_argument("--table", required=True)
+    w.add_argument("--input", default=None, help="parquet path to stage (stage only)")
+    w.add_argument("--ref", default=None, help="staged-batch ref (required except stage/list)")
+    w.add_argument(
+        "--skip-audit",
+        action="store_true",
+        help="publish without re-running the validation audit",
+    )
+    w.add_argument("--job-id", default=None)
 
     ai = sub.add_parser("ann-index")
     ai.add_argument("--input", required=True, help="dir containing embeddings.parquet")
@@ -365,6 +386,74 @@ def _dispatch(args, spark) -> dict:
             "changes": summary,
             "rows": int(sum(summary.values())),
             **({"out": args.out} if args.out else {}),
+        }
+    if args.cmd == "wap":
+        from hoopstat_haus_spark.lakehouse.wap import (
+            discard_staged,
+            publish_staged,
+            scan_staged,
+            stage_append,
+            staged_records,
+        )
+
+        def _need_ref():
+            if not args.ref:
+                raise SystemExit(f"wap {args.action} needs --ref")
+            return args.ref
+
+        if args.action == "list":
+            return {
+                "staged": {
+                    ref: {
+                        "base_snapshot": rec["base_id"],
+                        "files": len(rec["entries"]),
+                        "rows": int(sum(e["row_count"] for e in rec["entries"])),
+                        "created_ms": rec["created_ms"],
+                    }
+                    for ref, rec in staged_records(args.table).items()
+                }
+            }
+        if args.action == "stage":
+            if not args.input:
+                raise SystemExit("wap stage needs --input")
+            rec = stage_append(table, spark.read.parquet(args.input), ref=args.ref)
+            return {
+                "ref": rec["ref"],
+                "base_snapshot": rec["base_id"],
+                "files": len(rec["entries"]),
+                "rows": int(sum(e["row_count"] for e in rec["entries"])),
+            }
+        if args.action == "audit":
+            from pyspark.sql import functions as F
+
+            from hoopstat_haus_spark.lakehouse.quarantine import validate_batch
+
+            ok, bad = validate_batch(scan_staged(table, _need_ref()))
+            counts = {r["_error_class"]: r["n"] for r in bad.groupBy("_error_class").agg(
+                F.count(F.lit(1)).alias("n")).collect()} if (n_bad := bad.count()) else {}
+            return {"ref": args.ref, "ok_rows": ok.count(), "bad_rows": n_bad, "by_class": counts}
+        if args.action == "publish":
+            ref = _need_ref()
+            if not args.skip_audit:
+                from hoopstat_haus_spark.lakehouse.quarantine import validate_batch
+
+                n_bad = validate_batch(scan_staged(table, ref))[1].count()
+                if n_bad:
+                    raise SystemExit(
+                        f"staged batch {ref!r} fails its audit ({n_bad} rows); "
+                        "fix and restage, discard it, or pass --skip-audit"
+                    )
+            snap = publish_staged(table, ref)
+            return {
+                "snapshot": snap.snapshot_id,
+                "ref": ref,
+                "rows": int(snap.summary.get("rows", 0)),
+            }
+        rec = discard_staged(table, _need_ref())
+        return {
+            "discarded": args.ref,
+            "orphaned_files": len(rec["entries"]),
+            "note": "data files age out via expire's GC min-age",
         }
     if args.cmd == "ingest":
         from hoopstat_haus_spark.streaming.ingest import last_committed_batch, stream_ingest

@@ -212,3 +212,50 @@ def test_update_and_rollback_subcommands(spark, tmp_table_dir, capsys):
         _run(capsys, "update", "--table", t.path, "--where", "true", "--set", "nonsense")
     with pytest.raises(SystemExit):
         _run(capsys, "rollback", "--table", t.path)
+
+
+def test_wap_cli_stage_audit_publish_discard(spark, tmp_table_dir, capsys, tmp_path):
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 2000), repartition_n=4)
+    head = t.log.current_id()
+
+    clean = synthetic(spark, 120).withColumn(
+        "doc_id", F.concat(F.lit("cli-"), F.col("doc_id"))
+    )
+    feed = str(tmp_path / "feed")
+    clean.write.parquet(feed)
+    out = _run(capsys, "wap", "stage", "--table", t.path, "--input", feed, "--ref", "cliref")
+    assert out["ref"] == "cliref" and out["rows"] == 120 and out["base_snapshot"] == head
+    assert t.log.current_id() == head  # staging claimed no version slot
+
+    listed = _run(capsys, "wap", "list", "--table", t.path)
+    assert listed["staged"]["cliref"]["rows"] == 120
+
+    audit = _run(capsys, "wap", "audit", "--table", t.path, "--ref", "cliref")
+    assert audit == {"ref": "cliref", "ok_rows": 120, "bad_rows": 0, "by_class": {}}
+
+    pub = _run(capsys, "wap", "publish", "--table", t.path, "--ref", "cliref")
+    assert pub["snapshot"] == head + 1 and pub["rows"] == 2120
+    assert t.scan().filter(F.col("doc_id").startswith("cli-")).count() == 120
+    assert _run(capsys, "wap", "list", "--table", t.path)["staged"] == {}
+
+    # a dirty batch: publish refuses, audit classifies, discard orphans
+    dirty = (
+        synthetic(spark, 40)
+        .withColumn("doc_id", F.concat(F.lit("bad-"), F.col("doc_id")))
+        .withColumn("n_tok", F.col("n_tok") + 1)
+    )
+    feed2 = str(tmp_path / "feed2")
+    dirty.write.parquet(feed2)
+    _run(capsys, "wap", "stage", "--table", t.path, "--input", feed2, "--ref", "dirty")
+    audit2 = _run(capsys, "wap", "audit", "--table", t.path, "--ref", "dirty")
+    assert audit2["bad_rows"] == 40 and audit2["by_class"] == {"length_mismatch": 40}
+    import pytest
+    with pytest.raises(SystemExit):
+        _run(capsys, "wap", "publish", "--table", t.path, "--ref", "dirty")
+    dropped = _run(capsys, "wap", "discard", "--table", t.path, "--ref", "dirty")
+    assert dropped["discarded"] == "dirty" and dropped["orphaned_files"] > 0
+    assert t.scan().filter(F.col("doc_id").startswith("bad-")).count() == 0
+    with pytest.raises(SystemExit):
+        _run(capsys, "wap", "stage", "--table", t.path)  # --input required
+    with pytest.raises(SystemExit):
+        _run(capsys, "wap", "publish", "--table", t.path)  # --ref required
