@@ -120,3 +120,19 @@ def test_ref_hygiene(table, spark):
     with pytest.raises(ValueError):
         stage_append(table, batch(spark, 50, "waph"), ref="bad/ref")
     discard_staged(table, "dup")
+
+
+def test_publish_after_schema_evolution(table, spark):
+    """A schema evolve landing between stage and publish must not strand
+    the staged files: they were written under the OLD schema version, so
+    the post-publish scan reads them with the new column's default (the
+    same mixed-schema machinery every committed old file uses)."""
+    stage_append(table, batch(spark, 90, "waps"), ref="preevo")
+    table.evolve_schema([{"name": "lang", "type": "string", "default": "und"}])
+    # the staged view still reads at its own pinned schema version
+    assert "lang" not in scan_staged(table, "preevo").columns
+    snap = publish_staged(table, "preevo")
+    assert snap.summary["schema_version"] == table.schema_def().version
+    out = table.scan().filter(F.col("doc_id").startswith("waps-"))
+    assert out.count() == 90
+    assert {r["lang"] for r in out.select("lang").distinct().collect()} == {"und"}
