@@ -194,6 +194,91 @@ class TokenLakeTable:
             return []
         return mf.read_manifest(self.path, snap.manifest)
 
+    # ------------------------------------- metadata inspection tables
+    # Iceberg's `table.history` / `table.files` / `table.partitions`
+    # surface (reference analog: the per-date success map + summary
+    # manifest lineage, SURVEY M5/M9) as DataFrames, so operators can
+    # join/filter table metadata with the same API as data.
+
+    def history(self) -> DataFrame:
+        """One row per retained snapshot, newest last. Metadata-only:
+        O(retained) snapshot-JSON reads driver-side (expiry bounds the
+        count); no manifest shard or data file is opened."""
+        cur = self.log.current_id()
+        tags_by_id: dict[int, list[str]] = {}
+        for name, sid in sorted(self.log.tags().items()):
+            tags_by_id.setdefault(sid, []).append(name)
+        rows = [
+            (
+                s.snapshot_id,
+                s.parent_id,
+                s.timestamp_ms,
+                s.operation,
+                int(s.summary.get("rows", 0)),
+                int(s.summary.get("files", 0)),
+                s.summary.get("schema_version"),
+                s.snapshot_id == cur,
+                tags_by_id.get(s.snapshot_id, []),
+            )
+            for s in (self.log.get(sid) for sid in self.log.list_ids())
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id long, parent_id long, committed_ms long, operation string, "
+            "rows long, files long, schema_version int, is_current boolean, "
+            "tags array<string>",
+        )
+
+    def partitions(self, snapshot_id: int | None = None) -> DataFrame:
+        """Per-partition rollup straight from the manifest LIST —
+        O(partitions) metadata, no shard parquet is opened."""
+        snap = self.log.get(snapshot_id) if snapshot_id else self.log.current()
+        recs = mf.read_manifest_list(self.path, snap.manifest) if snap else []
+        rows = [
+            (r["partition"], r["n_files"], r["row_count"], r["token_count"], r["file_bytes"])
+            for r in recs
+        ]
+        return self.spark.createDataFrame(
+            rows, "partition string, n_files long, rows long, tokens long, bytes long"
+        )
+
+    def files(
+        self, snapshot_id: int | None = None, sources: list[str] | None = None
+    ) -> DataFrame:
+        """One row per live data file with its manifest stats (the zq
+        planning sketch is dropped — inspect via ``manifest_entries``).
+        ``sources`` prunes at shard level BEFORE any shard is opened,
+        same as ``scan``; an unfiltered call materializes O(files) rows
+        through the driver — the same footprint as ``manifest_entries``
+        and an Iceberg planner's file list."""
+        snap = self.log.get(snapshot_id) if snapshot_id else self.log.current()
+        entries: list[dict] = []
+        if snap is not None:
+            for rec in mf.read_manifest_list(self.path, snap.manifest):
+                if sources is not None and rec["partition"] not in sources:
+                    continue
+                entries.extend(mf.read_shard(self.path, rec))
+        cols = (
+            "file_path",
+            "partition",
+            "row_count",
+            "token_count",
+            "min_doc_id",
+            "max_doc_id",
+            "min_n_tok",
+            "max_n_tok",
+            "zmin",
+            "zmax",
+            "file_bytes",
+            "zq_curve",
+        )
+        return self.spark.createDataFrame(
+            [tuple(e.get(c) for c in cols) for e in entries],
+            "file_path string, partition string, row_count long, token_count long, "
+            "min_doc_id string, max_doc_id string, min_n_tok int, max_n_tok int, "
+            "zmin long, zmax long, file_bytes long, zq_curve string",
+        )
+
     def scan(
         self,
         snapshot_id: int | None = None,
