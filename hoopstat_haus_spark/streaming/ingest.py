@@ -111,9 +111,18 @@ def make_batch_processor(
     table: TokenLakeTable,
     stream_id: str,
     dedupe: str | None = "key",
+    validate: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """The ``foreachBatch`` function — exposed separately so tests can
-    drive replay semantics without a running stream."""
+    drive replay semantics without a running stream.
+
+    ``validate=True`` runs the quarantine classifier over each
+    micro-batch BEFORE the merge: invalid rows (length mismatch,
+    out-of-vocab, null keys) land in the quarantine sidecar for the
+    standard ``replay`` fixes instead of entering the corpus. The
+    sidecar write happens before the merge commit, so a crash in
+    between replays the batch — already-quarantined keys are anti-
+    joined away, making the quarantine leg idempotent too."""
 
     def process(batch: DataFrame, batch_id: int) -> None:
         if batch_id <= last_committed_batch(table, stream_id):
@@ -122,7 +131,33 @@ def make_batch_processor(
         # present in the feed must reach merge_into (absent ones become
         # NULL -> default there)
         cols = [n for n in table.schema_def().names() if n in batch.columns]
-        updates = dedupe_batch(batch.select(*cols))
+        incoming = batch.select(*cols)
+        if validate:
+            from hoopstat_haus_spark.lakehouse.quarantine import (
+                quarantine_batch,
+                read_quarantine,
+                validate_batch,
+            )
+
+            incoming, rejected = validate_batch(incoming)
+            # replay idempotence: the sidecar (O(bad rows), small) may
+            # already hold this batch's rejects from a crashed attempt.
+            # Null-SAFE match on (key, content): null_key rejects have no
+            # usable key, so a plain equi-anti-join would never match them
+            # (null != null) and every crash replay would re-append them.
+            seen = read_quarantine(table).select(
+                "doc_id", "source", token_sig(F.col("tokens")).alias("_sig")
+            )
+            rej = rejected.withColumn("_sig", token_sig(F.col("tokens")))
+            cond = (
+                rej["doc_id"].eqNullSafe(seen["doc_id"])
+                & rej["source"].eqNullSafe(seen["source"])
+                & rej["_sig"].eqNullSafe(seen["_sig"])
+            )
+            fresh = rej.join(F.broadcast(seen), cond, "left_anti").drop("_sig")
+            if not fresh.isEmpty():
+                quarantine_batch(table, fresh)
+        updates = dedupe_batch(incoming)
         if dedupe:
             updates = _anti_corpus(updates, table, dedupe)
         # rows survive post-dedupe? one cheap probe; an all-duplicate batch
@@ -146,6 +181,7 @@ def stream_ingest(
     checkpoint_dir: str,
     stream_id: str = "ingest",
     dedupe: str | None = "key",
+    validate: bool = False,
     max_files_per_trigger: int | None = None,
 ) -> None:
     """Process every parquet file currently in ``feed_dir`` that this
@@ -160,7 +196,9 @@ def stream_ingest(
         .parquet(feed_dir)
     )
     q = (
-        reader.writeStream.foreachBatch(make_batch_processor(table, stream_id, dedupe))
+        reader.writeStream.foreachBatch(
+            make_batch_processor(table, stream_id, dedupe, validate=validate)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

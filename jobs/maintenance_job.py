@@ -110,6 +110,11 @@ def main(argv: list[str] | None = None) -> int:
         default="key",
         help="anti-join new rows against the corpus by merge key or token content",
     )
+    ing.add_argument(
+        "--validate",
+        action="store_true",
+        help="classify each micro-batch; invalid rows go to the quarantine sidecar",
+    )
 
     d = sub.add_parser("delete")
     d.add_argument("--table", required=True)
@@ -466,15 +471,21 @@ def _dispatch(args, spark) -> dict:
             args.checkpoint,
             stream_id=args.stream_id,
             dedupe=None if args.dedupe == "none" else args.dedupe,
+            validate=args.validate,
         )
         snap = table.log.current()
-        return {
+        out = {
             "snapshot": snap.snapshot_id,
             "snapshots_committed": snap.snapshot_id - (before or 0),
             "stream_id": args.stream_id,
             "last_stream_batch": last_committed_batch(table, args.stream_id),
             "rows": int(snap.summary.get("rows", 0)),
         }
+        if args.validate:
+            from hoopstat_haus_spark.lakehouse.quarantine import read_quarantine
+
+            out["quarantined"] = read_quarantine(table).count()
+        return out
     if args.cmd == "expire":
         import time as _time
 

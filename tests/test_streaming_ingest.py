@@ -118,6 +118,66 @@ def test_content_dedupe_drops_rekeyed_copies(env):
     assert t.scan().filter(F.col("doc_id") == "doc-9999999999").count() == 0
 
 
+def _bad_rows(spark):
+    """One reject per error class, incl. a NULL-key row (the case a plain
+    equi-anti-join can never dedupe on replay)."""
+    return spark.createDataFrame(
+        [
+            ("doc-bad-len", [1, 2, 3], 99, "src0"),  # length_mismatch
+            ("doc-bad-vocab", [1, -5], 2, "src0"),  # token_out_of_vocab
+            (None, [7, 8], 2, "src0"),  # null_key
+        ],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+
+
+def test_validated_ingest_quarantines_bad_rows(env):
+    from hoopstat_haus_spark.lakehouse.quarantine import read_quarantine
+
+    spark, t, feed, ckpt = env
+    good = synthetic(spark, 3020).filter(F.col("doc_id") >= "doc-0000003000")
+    proc = make_batch_processor(t, "sv", validate=True)
+    proc(good.unionByName(_bad_rows(spark)), 0)
+    # bad rows never reach the corpus; good rows all merge
+    assert t.scan().count() == 3020
+    assert t.scan().filter(F.col("doc_id").startswith("doc-bad")).count() == 0
+    q = read_quarantine(t)
+    assert q.count() == 3
+    assert sorted(r["_error_class"] for r in q.collect()) == [
+        "length_mismatch",
+        "null_key",
+        "token_out_of_vocab",
+    ]
+
+
+def test_validated_ingest_replay_does_not_duplicate_quarantine(env, monkeypatch):
+    """Crash between the sidecar write and the merge commit: the replayed
+    batch must not re-append its rejects (null-key rows included — the
+    anti-join is null-safe and content-keyed)."""
+    import hoopstat_haus_spark.streaming.ingest as ing
+    from hoopstat_haus_spark.lakehouse.quarantine import read_quarantine
+
+    spark, t, feed, ckpt = env
+    good = synthetic(spark, 3010).filter(F.col("doc_id") >= "doc-0000003000")
+    batch = good.unionByName(_bad_rows(spark))
+
+    real_merge = ing.merge_into
+
+    def boom(*a, **k):
+        raise RuntimeError("crash after quarantine, before commit")
+
+    monkeypatch.setattr(ing, "merge_into", boom)
+    proc = make_batch_processor(t, "sv", validate=True)
+    with pytest.raises(RuntimeError):
+        proc(batch, 0)
+    assert read_quarantine(t).count() == 3  # sidecar written pre-crash
+
+    monkeypatch.setattr(ing, "merge_into", real_merge)
+    proc(batch, 0)  # stream replays the SAME batch id
+    assert t.scan().count() == 3010
+    assert read_quarantine(t).count() == 3  # no duplicate rejects
+
+
 def test_anti_corpus_never_shuffles_the_corpus(env):
     # the dedupe check must not sort-merge-shuffle the corpus per
     # micro-batch: both modes run as two broadcast joins (batch keys
