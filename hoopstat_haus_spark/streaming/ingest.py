@@ -21,10 +21,12 @@ checks the batch against a column-pruned (doc_id, source) corpus scan
 restricted to the feed's partitions (the same shard-level pruning
 ``scan`` always applies) — and the corpus side never shuffles: the
 batch keys broadcast into a semi-join whose ≤ |batch| result
-broadcasts back into the anti-join (see ``_anti_corpus``). ``dedupe='content'`` compares ``token_sig`` and therefore must
-read token payloads — documented full-scan path; the scale answer is
-persisting a digest column/index at write time (schema evolution
-supports adding it) and anti-joining that instead.
+broadcasts back into the anti-join (see ``_anti_corpus``). ``dedupe='content'`` compares ``token_sig``; pass ``content_index``
+to back it with a persisted
+:class:`~hoopstat_haus_spark.lakehouse.digest_index.DigestIndex`
+(skinny sig scan, CDC-refreshed in O(changed partitions) per batch) —
+without one it falls back to re-hashing every corpus payload per
+micro-batch, the documented non-scale path.
 """
 
 from __future__ import annotations
@@ -77,7 +79,9 @@ def dedupe_batch(batch: DataFrame) -> DataFrame:
     )
 
 
-def _anti_corpus(batch: DataFrame, table: TokenLakeTable, mode: str) -> DataFrame:
+def _anti_corpus(
+    batch: DataFrame, table: TokenLakeTable, mode: str, index=None
+) -> DataFrame:
     # Both modes avoid shuffling the corpus: a direct `batch LEFT ANTI
     # corpus` join cannot broadcast the small side (Spark builds only the
     # RIGHT side of a LEFT ANTI hash join), so it would sort-merge-shuffle
@@ -95,11 +99,16 @@ def _anti_corpus(batch: DataFrame, table: TokenLakeTable, mode: str) -> DataFram
         present = existing.join(F.broadcast(keys), ["doc_id", "source"], "left_semi")
         return batch.join(F.broadcast(present), ["doc_id", "source"], "left_anti")
     if mode == "content":
-        # content identity spans partitions by definition: full (but
-        # column-pruned to `tokens`) scan; the at-scale answer is a
-        # persisted digest column/index (see module docstring)
+        # content identity spans partitions by definition. With a
+        # DigestIndex the corpus side is the persisted skinny sig column
+        # (~60 B/row, digests never recomputed); without one it is a
+        # column-pruned full scan that re-hashes every payload per batch
+        # — the documented non-scale fallback.
         sigs = batch.withColumn("_sig", token_sig(F.col("tokens")))
-        existing = table.scan().select(token_sig(F.col("tokens")).alias("_sig"))
+        if index is not None:
+            existing = index.to_df().select(F.col("sig").alias("_sig"))
+        else:
+            existing = table.scan().select(token_sig(F.col("tokens")).alias("_sig"))
         present = existing.join(
             F.broadcast(sigs.select("_sig").distinct()), "_sig", "left_semi"
         ).distinct()
@@ -112,9 +121,17 @@ def make_batch_processor(
     stream_id: str,
     dedupe: str | None = "key",
     validate: bool = False,
+    content_index: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """The ``foreachBatch`` function — exposed separately so tests can
     drive replay semantics without a running stream.
+
+    ``content_index`` (with ``dedupe='content'``) names a persisted
+    :class:`~hoopstat_haus_spark.lakehouse.digest_index.DigestIndex`:
+    each micro-batch refreshes it to the table head (O(changed
+    partitions) via the change feed — a no-op when nothing changed) and
+    dedupes against the skinny sig column instead of re-hashing every
+    corpus payload. First use pays one full build scan.
 
     ``validate=True`` runs the quarantine classifier over each
     micro-batch BEFORE the merge: invalid rows (length mismatch,
@@ -159,7 +176,13 @@ def make_batch_processor(
                 quarantine_batch(table, fresh)
         updates = dedupe_batch(incoming)
         if dedupe:
-            updates = _anti_corpus(updates, table, dedupe)
+            idx = None
+            if dedupe == "content" and content_index:
+                from hoopstat_haus_spark.lakehouse.digest_index import DigestIndex
+
+                idx = DigestIndex(table, content_index)
+                idx.refresh()  # advance to head before the merge below
+            updates = _anti_corpus(updates, table, dedupe, index=idx)
         # rows survive post-dedupe? one cheap probe; an all-duplicate batch
         # commits nothing (replay of a no-op batch is naturally a no-op)
         if updates.isEmpty():
@@ -182,6 +205,7 @@ def stream_ingest(
     stream_id: str = "ingest",
     dedupe: str | None = "key",
     validate: bool = False,
+    content_index: str | None = None,
     max_files_per_trigger: int | None = None,
 ) -> None:
     """Process every parquet file currently in ``feed_dir`` that this
@@ -197,7 +221,9 @@ def stream_ingest(
     )
     q = (
         reader.writeStream.foreachBatch(
-            make_batch_processor(table, stream_id, dedupe, validate=validate)
+            make_batch_processor(
+                table, stream_id, dedupe, validate=validate, content_index=content_index
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -115,6 +115,12 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="classify each micro-batch; invalid rows go to the quarantine sidecar",
     )
+    ing.add_argument(
+        "--content-index",
+        default=None,
+        metavar="NAME",
+        help="with --dedupe content: back the dedupe with a persisted DigestIndex",
+    )
 
     d = sub.add_parser("delete")
     d.add_argument("--table", required=True)
@@ -472,6 +478,7 @@ def _dispatch(args, spark) -> dict:
             stream_id=args.stream_id,
             dedupe=None if args.dedupe == "none" else args.dedupe,
             validate=args.validate,
+            content_index=args.content_index,
         )
         snap = table.log.current()
         out = {
