@@ -42,6 +42,9 @@ Subcommands:
               sequence packing) from a documents dir to parquet
     ann-index build a persisted IVF index from an embeddings dir
               (cell-partitioned vectors; probe scans partition-prune)
+    digest-index  build/refresh the persisted content-sig index
+              (CDC-incremental; backs `ingest --dedupe content
+              --content-index NAME` without per-batch payload re-hash)
 
 On a cluster the session comes from spark-submit's conf; local runs fall
 back to the tuned local factory. Every job prints one JSON metrics line
@@ -229,6 +232,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     w.add_argument("--job-id", default=None)
 
+    di = sub.add_parser("digest-index")
+    di.add_argument("--table", required=True)
+    di.add_argument("--name", default="content_sigs", help="index name under <table>/_digest_index/")
+    di.add_argument("--job-id", default=None)
+
     ai = sub.add_parser("ann-index")
     ai.add_argument("--input", required=True, help="dir containing embeddings.parquet")
     ai.add_argument("--out", required=True, help="index output dir (must not exist)")
@@ -266,6 +274,21 @@ def main(argv: list[str] | None = None) -> int:
 
 
 def _dispatch(args, spark) -> dict:
+    if args.cmd == "digest-index":
+        from hoopstat_haus_spark.lakehouse import TokenLakeTable as _TLT
+        from hoopstat_haus_spark.lakehouse.digest_index import DigestIndex
+
+        ix = DigestIndex(_TLT(spark, args.table), args.name)
+        had = ix.state() is not None
+        st = ix.refresh()
+        return {
+            "name": args.name,
+            "action": "refresh" if had else "build",
+            "snapshot_id": st["snapshot_id"],
+            "sources": len(st["parts"]),
+            "rows": ix.to_df().count(),
+        }
+
     if args.cmd == "ann-index":
         from hoopstat_haus_spark.operators.common import load
         from hoopstat_haus_spark.similarity.ann_index import build_ivf_index

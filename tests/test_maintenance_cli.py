@@ -125,6 +125,43 @@ def test_ingest_subcommand_exactly_once(spark, tmp_table_dir, capsys, tmp_path):
     assert out2["last_stream_batch"] == 0
 
 
+def test_ingest_validate_and_digest_index_subcommands(spark, tmp_table_dir, capsys, tmp_path):
+    import shutil
+
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 3000), repartition_n=4)
+    feed, ckpt = str(tmp_path / "feed"), str(tmp_path / "ckpt")
+    os.makedirs(feed)
+    stage = str(tmp_path / "stage")
+    good = synthetic(spark, 3020).filter(F.col("doc_id") >= "doc-0000003000")
+    bad = spark.createDataFrame(
+        [("doc-bad-len", [1, 2, 3], 99, "src0")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    good.unionByName(bad).coalesce(1).write.parquet(stage)
+    part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+    os.replace(os.path.join(stage, part), os.path.join(feed, "b1.parquet"))
+    shutil.rmtree(stage)
+
+    out = _run(
+        capsys, "ingest", "--table", t.path, "--feed", feed, "--checkpoint", ckpt,
+        "--dedupe", "content", "--content-index", "cs", "--validate",
+    )
+    assert out["quarantined"] == 1
+    assert t.scan().count() == 3020
+
+    # index exists (built during ingest at the pre-merge snapshot);
+    # the subcommand refreshes it to head and reports the full size
+    out2 = _run(capsys, "digest-index", "--table", t.path, "--name", "cs")
+    assert out2["action"] == "refresh"
+    assert out2["snapshot_id"] == t.log.current_id()
+    assert out2["rows"] == 3020
+
+    # a fresh name builds from scratch
+    out3 = _run(capsys, "digest-index", "--table", t.path, "--name", "other")
+    assert out3["action"] == "build"
+    assert out3["rows"] == 3020
+
+
 def test_corpus_subcommand_end_to_end(spark, capsys, tmp_path):
     from tests.conftest import SF_DIR
 
