@@ -254,21 +254,29 @@ def gc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def quarantine_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quarantine + replay cycle (M6/M7, reference quarantine store +
-    replay engine): create → validate an incoming batch carrying
-    deterministic planted errors (10 length_mismatch, 10 out-of-vocab,
-    10 clean rows on a fresh doc-id range) → merge the clean rows →
-    quarantine the rejects → replay with the standard fixes (recount /
-    clamp-vocab) → then a write-audit-publish round-trip (stage a clean
-    batch → audit passes → publish; stage a dirty batch → audit catches
-    all 8 rows → discard) → scan. The rollup must equal the closed-form
-    oracle of base ∪ fixed-batch ∪ wap-published-batch, and
-    ``replay_resolved_all`` — true only if every quarantined row
-    resolved, none still fail, the sidecar is empty afterwards, AND the
-    WAP leg held (staged invisible pre-publish, audit counts exact,
-    exactly-once republish, no staged records left) — is pinned TRUE."""
+    replay engine), driven through the STREAMING ingest path: create →
+    deliver a micro-batch carrying deterministic planted errors (10
+    length_mismatch, 10 out-of-vocab, 10 clean rows on a fresh doc-id
+    range) to ``make_batch_processor(validate=True, dedupe='content',
+    content_index=...)`` — the clean rows merge exactly-once under the
+    stream stamp after content-dedupe against the persisted DigestIndex
+    (built here from the base corpus), the rejects land in the sidecar
+    — replay with the standard fixes (recount / clamp-vocab) → then a
+    write-audit-publish round-trip (stage a clean batch → audit passes
+    → publish; stage a dirty batch → audit catches all 8 rows →
+    discard) → refresh the index across all those commits and
+    value-check it against a recomputed scan digest on src0 (the
+    partition every mutation landed in) → scan. The rollup must equal
+    the closed-form oracle of base ∪ fixed-batch ∪ wap-published-batch,
+    and ``replay_resolved_all`` — true only if the stream leg held
+    (batch stamped, a redelivered batch is a no-op, rejects
+    classified), every quarantined row resolved, none still fail, the
+    sidecar is empty afterwards, the WAP leg held (staged invisible
+    pre-publish, audit counts exact, exactly-once republish, no staged
+    records left), AND the CDC-refreshed DigestIndex matches the
+    recomputed truth exactly — is pinned TRUE."""
     from hoopstat_haus_spark.lakehouse.quarantine import (
         VOCAB_SIZE,
-        quarantine_batch,
         read_quarantine,
         replay,
         validate_batch,
@@ -298,12 +306,23 @@ def quarantine_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("tokens")),
     ).drop("_kind")
 
-    valid, rejected = validate_batch(batch)
-    merge_into(t, valid)
-    quarantine_batch(t, rejected)
+    from hoopstat_haus_spark.streaming.ingest import last_committed_batch, make_batch_processor
+
+    proc = make_batch_processor(
+        t, "gate-stream", dedupe="content", validate=True, content_index="gate-cs"
+    )
+    proc(batch, 0)
+    head_after_ingest = t.log.current_id()
+    proc(batch, 0)  # redelivery of the SAME batch id: exactly-once no-op
+    stream_ok = (
+        last_committed_batch(t, "gate-stream") == 0
+        and t.log.current_id() == head_after_ingest
+        and read_quarantine(t).count() == 20
+    )
     rep = replay(t)
     ok = (
-        rep["replayed"] == 20
+        stream_ok
+        and rep["replayed"] == 20
         and rep["resolved"] == 20
         and rep["still_failed"] == 0
         and read_quarantine(t).count() == 0
@@ -350,7 +369,33 @@ def quarantine_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         and publish_staged(t, "gate-clean").snapshot_id == snap.snapshot_id
         and staged_records(t.path) == {}
     )
-    return rollup(t.scan()).withColumn("replay_resolved_all", F.lit(ok and wap_ok))
+
+    # DigestIndex leg: the index was BUILT from the base corpus inside
+    # the stream processor; refresh now rolls it across the ingest,
+    # replay, and WAP-publish commits via the change feed (never a
+    # rebuild). Value-check on src0 — the partition every mutation
+    # landed in — against a freshly recomputed scan digest: any lost /
+    # duplicated / stale sig breaks the except-both-ways emptiness.
+    from hoopstat_haus_spark.lakehouse.digest_index import DigestIndex
+    from hoopstat_haus_spark.tables.token_table import token_sig
+
+    ix = DigestIndex(t, "gate-cs")
+    st = ix.refresh()
+    # materialize both sides once: the comparison below is four actions,
+    # and the truth side re-hashes src0's token payloads on every replay
+    truth = (
+        t.scan(sources=["src0"])
+        .select("doc_id", "source", token_sig(F.col("tokens")).alias("sig"))
+        .localCheckpoint()
+    )
+    got = ix.to_df(sources=["src0"]).localCheckpoint()
+    idx_ok = (
+        st["snapshot_id"] == t.log.current_id()
+        and got.count() == truth.count()
+        and got.exceptAll(truth).isEmpty()
+        and truth.exceptAll(got).isEmpty()
+    )
+    return rollup(t.scan()).withColumn("replay_resolved_all", F.lit(ok and wap_ok and idx_ok))
 
 
 def _tokens_sql() -> str:
