@@ -145,12 +145,23 @@ class DigestIndex:
             )
             return self._write_state(head, parts)
 
+        # hash the changed rows' payloads ONCE: the feed feeds three
+        # consumers (changed-source collect, the add side, the remove
+        # keys), so materialize it as a skinny (key, sig, kind) frame —
+        # token arrays are dropped before the checkpoint, and the diff
+        # join never re-executes
         ch = table_changes(self.table, st["snapshot_id"], head)
-        changed = [r["source"] for r in ch.select("source").distinct().collect()]
+        delta = ch.select(
+            "doc_id",
+            "source",
+            token_sig(F.col("tokens")).alias("sig"),
+            F.col(CHANGE_COL).alias("_ch"),
+        ).localCheckpoint()
+        changed = [r["source"] for r in delta.select("source").distinct().collect()]
         if not changed:
             return self._write_state(head, dict(st["parts"]))
-        adds = self._index_frame(ch.filter(F.col(CHANGE_COL) != "delete"))
-        gone = ch.filter(F.col(CHANGE_COL) != "insert").select("doc_id", "source")
+        adds = delta.filter(F.col("_ch") != "delete").select("doc_id", "source", "sig")
+        gone = delta.filter(F.col("_ch") != "insert").select("doc_id", "source")
         old = self.to_df(sources=[s for s in changed if s in st["parts"]])
         new = old.join(F.broadcast(gone), ["doc_id", "source"], "left_anti").unionByName(adds)
         fresh = self._write_partitions(new, "refresh", len(changed))
