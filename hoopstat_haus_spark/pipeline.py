@@ -12,6 +12,9 @@ build runs, composed from this engine's operators.
       → tokenize              (closed-form generator — stands in for a
                                real tokenizer; same expressions as
                                ``tables.from_documents``)
+      → lake dedup            (optional: drop docs whose token content an
+                               existing TokenLakeTable already holds —
+                               skinny sig join against its DigestIndex)
       → mix                   (optional: per-source token budgets,
                                content-keyed gate — ``tables/mixing``)
       → pack                  (optional: fixed-length training
@@ -76,6 +79,8 @@ def build_training_corpus(
     shuffle_out_shards: int | None = None,
     shuffle_salt: str = "shuf",
     scrub: bool = False,
+    dedupe_against=None,
+    dedupe_index: str = "content_sigs",
 ) -> tuple[DataFrame, PipelineReport]:
     """Run the full pipeline; returns (token table of the cleaned
     corpus — or packed sequences when ``seq_len`` is set — and the
@@ -84,7 +89,13 @@ def build_training_corpus(
     ``shuffle_out_shards`` additionally applies the deterministic
     training-order shuffle (``tables/packing.shuffle_sequences``) to the
     packed output — requires ``seq_len``; ``scrub`` PII-redacts and
-    line-dedups text before quality filtering (``text/scrub``)."""
+    line-dedups text before quality filtering (``text/scrub``);
+    ``dedupe_against`` (a :class:`TokenLakeTable`) drops tokenized docs
+    whose token content already exists in that lake table — the
+    don't-retrain-on-what-you-already-hold gate — via its persisted
+    :class:`~hoopstat_haus_spark.lakehouse.digest_index.DigestIndex`
+    named ``dedupe_index`` (refreshed to the table head first; built on
+    first use)."""
     if shuffle_out_shards is not None and seq_len is None:
         raise ValueError("shuffle_out_shards requires seq_len (only sequences shuffle)")
     rep = PipelineReport()
@@ -158,6 +169,26 @@ def build_training_corpus(
     # 5. tokenize
     tokens = tokenize_documents(survivors)
     rep.record("tokenized", rep.stages.get("decontaminated", rep.stages["near_dedup"]))
+
+    # 5b. lake dedup (optional) — drop docs whose TOKEN content the lake
+    #     table already holds. Both sides can be huge at scale (a full
+    #     pipeline run × a 10^12-row lake), so no broadcast assumptions:
+    #     the candidate side hashes once into a skinny (doc_id, sig)
+    #     frame, the lake side is the persisted index's sig column, and
+    #     the semi-join shuffles only those two skinny frames; the final
+    #     anti-join's drop set is O(overlap) and AQE picks its strategy
+    #     (same reasoning as the near-dedup drop set above).
+    if dedupe_against is not None:
+        from hoopstat_haus_spark.lakehouse.digest_index import DigestIndex
+        from hoopstat_haus_spark.tables.token_table import token_sig
+
+        ix = DigestIndex(dedupe_against, dedupe_index)
+        ix.refresh()
+        cand = tokens.select("doc_id", token_sig(F.col("tokens")).alias("_sig"))
+        existing = ix.to_df().select(F.col("sig").alias("_sig"))
+        dup_ids = cand.join(existing, "_sig", "left_semi").select("doc_id")
+        tokens = tokens.join(dup_ids, "doc_id", "left_anti").localCheckpoint(eager=False)
+        rep.record("lake_dedup", tokens.count())
 
     # 6. mix — thin each source to its token budget (content-keyed gate,
     #    shuffle-free; thresholds planned from a 5-row totals aggregate)

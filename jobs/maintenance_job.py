@@ -214,6 +214,13 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="deterministic training-order shuffle of packed sequences into N output shards",
     )
+    cp.add_argument(
+        "--dedupe-against",
+        default=None,
+        metavar="TABLE",
+        help="drop docs whose token content this lake table already holds (DigestIndex join)",
+    )
+    cp.add_argument("--dedupe-index", default="content_sigs", metavar="NAME")
     cp.add_argument("--job-id", default=None)
 
     w = sub.add_parser("wap")
@@ -309,6 +316,11 @@ def _dispatch(args, spark) -> dict:
                     raise SystemExit(f"bad --budget spec {spec!r}, want source=tokens")
                 budgets[name] = int(val)
         bench_df = spark.read.parquet(args.benchmark) if args.benchmark else None
+        against = None
+        if args.dedupe_against:
+            from hoopstat_haus_spark.lakehouse import TokenLakeTable as _TLT
+
+            against = _TLT(spark, args.dedupe_against)
         out_df, rep = build_training_corpus(
             spark,
             args.input,
@@ -318,13 +330,18 @@ def _dispatch(args, spark) -> dict:
             n_shards=args.n_shards,
             shuffle_out_shards=args.shuffle_shards,
             scrub=args.scrub,
+            dedupe_against=against,
+            dedupe_index=args.dedupe_index,
         )
         out_df.write.mode("error").parquet(args.out)
         return {
             "stages": rep.stages,
             "out": args.out,
             "rows": rep.stages.get(
-                "packed_sequences", rep.stages.get("mixed", rep.stages["tokenized"])
+                "packed_sequences",
+                rep.stages.get(
+                    "mixed", rep.stages.get("lake_dedup", rep.stages["tokenized"])
+                ),
             ),
         }
 

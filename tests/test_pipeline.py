@@ -106,6 +106,31 @@ def test_pipeline_mix_and_pack_stages(spark):
     assert 0.75 * target <= packed + 4 * 5 * 64 and packed <= 1.25 * target
 
 
+def test_pipeline_lake_dedup_stage(spark, tmp_path):
+    """dedupe_against drops exactly the docs whose TOKEN content the
+    lake already holds — content-keyed (the lake copies are REKEYED, so
+    a doc_id join could never find them), everything else untouched."""
+    from hoopstat_haus_spark.lakehouse import TokenLakeTable
+
+    num = F.expr("cast(substr(doc_id, 5) as long)")
+    lake_rows = (
+        from_documents(spark, SF_DIR)
+        .filter(num % 2 == 0)
+        .withColumn("doc_id", F.concat(F.lit("lake-"), F.col("doc_id")))
+    )
+    t = TokenLakeTable.create(spark, str(tmp_path / "lake"), lake_rows, repartition_n=2)
+
+    out, rep = build_training_corpus(spark, SF_DIR, dedupe_against=t)
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    assert kept and all(int(d[4:]) % 2 == 1 for d in kept)
+    assert rep.stages["lake_dedup"] == len(kept)
+
+    # only content-matching docs were dropped relative to a plain run
+    base, _ = build_training_corpus(spark, SF_DIR)
+    base_ids = {r.doc_id for r in base.select("doc_id").collect()}
+    assert kept == {d for d in base_ids if int(d[4:]) % 2 == 1}
+
+
 def test_pipeline_is_deterministic(spark):
     t1, r1 = build_training_corpus(spark, SF_DIR)
     t2, r2 = build_training_corpus(spark, SF_DIR)
