@@ -42,6 +42,8 @@ Subcommands:
               sequence packing) from a documents dir to parquet
     ann-index build a persisted IVF index from an embeddings dir
               (cell-partitioned vectors; probe scans partition-prune)
+    view      build/refresh the incremental materialized per-source
+              rollup (O(changed rows) via the preimage change feed)
     digest-index  build/refresh the persisted content-sig index
               (CDC-incremental; backs `ingest --dedupe content
               --content-index NAME` without per-batch payload re-hash)
@@ -239,6 +241,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     w.add_argument("--job-id", default=None)
 
+    vw = sub.add_parser("view")
+    vw.add_argument("--table", required=True)
+    vw.add_argument("--name", default="source_rollup", help="view name under <table>/_views/")
+    vw.add_argument("--job-id", default=None)
+
     di = sub.add_parser("digest-index")
     di.add_argument("--table", required=True)
     di.add_argument("--name", default="content_sigs", help="index name under <table>/_digest_index/")
@@ -281,6 +288,21 @@ def main(argv: list[str] | None = None) -> int:
 
 
 def _dispatch(args, spark) -> dict:
+    if args.cmd == "view":
+        from hoopstat_haus_spark.lakehouse import TokenLakeTable as _TLT
+        from hoopstat_haus_spark.lakehouse.incremental import IncrementalRollup
+
+        v = IncrementalRollup(_TLT(spark, args.table), args.name)
+        had = v.state() is not None
+        st = v.refresh()
+        return {
+            "name": args.name,
+            "action": "refresh" if had else "build",
+            "snapshot_id": st["snapshot_id"],
+            "sources": len(st["rows"]),
+            "rows": int(sum(vals[0] for vals in st["rows"].values())),
+        }
+
     if args.cmd == "digest-index":
         from hoopstat_haus_spark.lakehouse import TokenLakeTable as _TLT
         from hoopstat_haus_spark.lakehouse.digest_index import DigestIndex

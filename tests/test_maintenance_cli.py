@@ -161,6 +161,13 @@ def test_ingest_validate_and_digest_index_subcommands(spark, tmp_table_dir, caps
     assert out3["action"] == "build"
     assert out3["rows"] == 3020
 
+    # the incremental-view subcommand: build, then idempotent refresh
+    v1 = _run(capsys, "view", "--table", t.path)
+    assert v1["action"] == "build" and v1["rows"] == 3020
+    assert v1["snapshot_id"] == t.log.current_id()
+    v2 = _run(capsys, "view", "--table", t.path)
+    assert v2["action"] == "refresh" and v2["rows"] == 3020
+
 
 def test_corpus_subcommand_end_to_end(spark, capsys, tmp_path):
     from tests.conftest import SF_DIR
