@@ -30,8 +30,11 @@ Layout (all under ``<table>/_digest_index/<name>/``):
   names). A refresh writes new subdirs only for CHANGED sources and
   carries the rest by pointer — the manifest-list trick at index scale.
 - Unreferenced top-level dirs are swept opportunistically after a
-  successful pointer swap (a crash before the sweep leaves orphans,
-  which the next refresh removes).
+  successful pointer swap, but only once OLDER than ``SWEEP_MIN_AGE_S``
+  — the GC min-age discipline: a racing refresher's just-written dirs
+  and a reader still planning over the previous state are never deleted
+  underneath them; true orphans (crashes, lost-update races) age out on
+  a later refresh.
 
 Refresh algebra (net feed, so compaction emits nothing and the index
 is untouched by pure rewrites): for the changed sources only,
@@ -63,7 +66,16 @@ class DigestIndex:
     """A named, persisted, incrementally-maintained content-sig index."""
 
     def __init__(self, table: TokenLakeTable, name: str = "content_sigs"):
-        if not name or not all(c.isalnum() or c in "._-" for c in name):
+        # names are path components under _digest_index/ and the sweep
+        # rmtrees inside self.root, so "." / ".." (which pass a bare
+        # charset check) would make root the shared dir or the TABLE
+        # root and let the sweep destroy it — require a leading alnum
+        if (
+            not name
+            or not name[0].isalnum()
+            or not all(c.isalnum() or c in "._-" for c in name)
+            or ".." in name
+        ):
             raise ValueError(f"bad index name {name!r}")
         self.table = table
         self.root = os.path.join(table.path, "_digest_index", name)
@@ -90,12 +102,28 @@ class DigestIndex:
         self._sweep_orphans(parts)
         return state
 
+    #: orphan data dirs younger than this survive the sweep — the same
+    #: min-age discipline GC applies to data files: a racing refresher's
+    #: just-written dirs (not yet in OUR parts) and a long-running
+    #: reader's plan over the previous state must not be deleted under
+    #: them. Dirs a lost-update race truly orphaned age out next refresh.
+    SWEEP_MIN_AGE_S = 3600.0
+
     def _sweep_orphans(self, parts: dict[str, str]) -> None:
+        import time
+
         live_tops = {rel.split(os.sep, 1)[0] for rel in parts.values()}
+        now = time.time()
         for d in os.listdir(self.root):
             full = os.path.join(self.root, d)
-            if os.path.isdir(full) and d not in live_tops:
-                shutil.rmtree(full, ignore_errors=True)
+            if not os.path.isdir(full) or d in live_tops:
+                continue
+            try:
+                if now - os.path.getmtime(full) < self.SWEEP_MIN_AGE_S:
+                    continue
+            except OSError:
+                continue  # vanished mid-walk → someone else is sweeping
+            shutil.rmtree(full, ignore_errors=True)
 
     # -- writes -------------------------------------------------------------
     def _write_partitions(self, df: DataFrame, kind: str, n_groups: int) -> dict[str, str]:

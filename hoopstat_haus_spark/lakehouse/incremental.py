@@ -51,7 +51,14 @@ class IncrementalRollup:
     """A named materialized per-source rollup over a TokenLakeTable."""
 
     def __init__(self, table: TokenLakeTable, name: str = "source_rollup"):
-        if not all(c.isalnum() or c in "._-" for c in name):
+        # a path component: "." / ".." pass a bare charset check and
+        # would escape _views/ — require a leading alnum, no ".."
+        if (
+            not name
+            or not name[0].isalnum()
+            or not all(c.isalnum() or c in "._-" for c in name)
+            or ".." in name
+        ):
             raise ValueError(f"bad view name {name!r}")
         self.table = table
         self.path = os.path.join(table.path, "_views", f"{name}.json")
@@ -77,9 +84,17 @@ class IncrementalRollup:
     def refresh(self) -> dict:
         """Bring the view up to the table HEAD. First call materializes
         from a full scan; every later call applies only the change feed
-        since the view's snapshot. Returns the new state."""
+        since the view's snapshot. A state whose base snapshot has been
+        EXPIRED from the log (no change feed can start there) falls back
+        to a full rebuild instead of wedging every future refresh.
+        Returns the new state."""
         head = self.table.log.current_id()
         st = self.state()
+        if st is not None and st["snapshot_id"] != head:
+            try:
+                self.table.log.get(st["snapshot_id"])
+            except FileNotFoundError:
+                st = None  # expired base: rebuild
         if st is None:
             rows = {
                 r["source"]: [int(r[m]) for m in _MEASURES]

@@ -381,8 +381,10 @@ def quarantine_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ix = DigestIndex(t, "gate-cs")
     st = ix.refresh()
-    # materialize both sides once: the comparison below is four actions,
-    # and the truth side re-hashes src0's token payloads on every replay
+    # materialize both sides once: the comparison below is two actions,
+    # and the truth side re-hashes src0's token payloads on every replay.
+    # exceptAll emptiness BOTH ways is full multiset equality (counts
+    # included), so no separate count probe.
     truth = (
         t.scan(sources=["src0"])
         .select("doc_id", "source", token_sig(F.col("tokens")).alias("sig"))
@@ -391,7 +393,6 @@ def quarantine_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     got = ix.to_df(sources=["src0"]).localCheckpoint()
     idx_ok = (
         st["snapshot_id"] == t.log.current_id()
-        and got.count() == truth.count()
         and got.exceptAll(truth).isEmpty()
         and truth.exceptAll(got).isEmpty()
     )

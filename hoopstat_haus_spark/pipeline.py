@@ -81,6 +81,7 @@ def build_training_corpus(
     scrub: bool = False,
     dedupe_against=None,
     dedupe_index: str = "content_sigs",
+    refresh_lake_index: bool = True,
 ) -> tuple[DataFrame, PipelineReport]:
     """Run the full pipeline; returns (token table of the cleaned
     corpus — or packed sequences when ``seq_len`` is set — and the
@@ -94,8 +95,13 @@ def build_training_corpus(
     whose token content already exists in that lake table — the
     don't-retrain-on-what-you-already-hold gate — via its persisted
     :class:`~hoopstat_haus_spark.lakehouse.digest_index.DigestIndex`
-    named ``dedupe_index`` (refreshed to the table head first; built on
-    first use)."""
+    named ``dedupe_index``. ``refresh_lake_index=True`` (default)
+    brings the index to the table head first — NOTE this WRITES under
+    the lake table's directory (builds the index on first use, a full
+    lake scan); a consumer with read-only access to the lake should
+    maintain the index from the table's own maintenance jobs (CLI
+    ``digest-index``) and pass ``refresh_lake_index=False``, accepting
+    that an index behind head under-drops (never over-drops)."""
     if shuffle_out_shards is not None and seq_len is None:
         raise ValueError("shuffle_out_shards requires seq_len (only sequences shuffle)")
     rep = PipelineReport()
@@ -183,7 +189,14 @@ def build_training_corpus(
         from hoopstat_haus_spark.tables.token_table import token_sig
 
         ix = DigestIndex(dedupe_against, dedupe_index)
-        ix.refresh()
+        if refresh_lake_index:
+            ix.refresh()
+        elif ix.state() is None:
+            raise ValueError(
+                f"digest index {dedupe_index!r} does not exist on {dedupe_against.path};"
+                " build it with the digest-index maintenance job or pass"
+                " refresh_lake_index=True"
+            )
         cand = tokens.select("doc_id", token_sig(F.col("tokens")).alias("_sig"))
         existing = ix.to_df().select(F.col("sig").alias("_sig"))
         dup_ids = cand.join(existing, "_sig", "left_semi").select("doc_id")

@@ -171,7 +171,9 @@ def make_batch_processor(
                 & rej["source"].eqNullSafe(seen["source"])
                 & rej["_sig"].eqNullSafe(seen["_sig"])
             )
-            fresh = rej.join(F.broadcast(seen), cond, "left_anti").drop("_sig")
+            # materialize once: the emptiness probe and the sidecar write
+            # would otherwise each re-run classify + the anti-join
+            fresh = rej.join(F.broadcast(seen), cond, "left_anti").drop("_sig").localCheckpoint()
             if not fresh.isEmpty():
                 quarantine_batch(table, fresh)
         updates = dedupe_batch(incoming)

@@ -223,6 +223,11 @@ def main(argv: list[str] | None = None) -> int:
         help="drop docs whose token content this lake table already holds (DigestIndex join)",
     )
     cp.add_argument("--dedupe-index", default="content_sigs", metavar="NAME")
+    cp.add_argument(
+        "--no-refresh-index",
+        action="store_true",
+        help="use the lake index as-is (read-only lake access; index maintained by digest-index)",
+    )
     cp.add_argument("--job-id", default=None)
 
     w = sub.add_parser("wap")
@@ -354,6 +359,7 @@ def _dispatch(args, spark) -> dict:
             scrub=args.scrub,
             dedupe_against=against,
             dedupe_index=args.dedupe_index,
+            refresh_lake_index=not args.no_refresh_index,
         )
         out_df.write.mode("error").parquet(args.out)
         return {
@@ -531,6 +537,11 @@ def _dispatch(args, spark) -> dict:
     if args.cmd == "ingest":
         from hoopstat_haus_spark.streaming.ingest import last_committed_batch, stream_ingest
 
+        q_before = 0
+        if args.validate:
+            from hoopstat_haus_spark.lakehouse.quarantine import read_quarantine
+
+            q_before = read_quarantine(table).count()
         before = table.log.current_id()
         stream_ingest(
             spark,
@@ -551,9 +562,10 @@ def _dispatch(args, spark) -> dict:
             "rows": int(snap.summary.get("rows", 0)),
         }
         if args.validate:
-            from hoopstat_haus_spark.lakehouse.quarantine import read_quarantine
-
-            out["quarantined"] = read_quarantine(table).count()
+            q_after = read_quarantine(table).count()
+            # this RUN's rejects; the sidecar is cumulative across runs
+            out["quarantined"] = q_after - q_before
+            out["quarantine_depth"] = q_after
         return out
     if args.cmd == "expire":
         import time as _time

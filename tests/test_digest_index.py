@@ -88,10 +88,25 @@ def test_digest_index_lifecycle(table, spark):
     assert st["snapshot_id"] == table.log.current_id()
     assert indexed(ix) == truth(table)
 
-    # orphan sweep: only live top-level dirs remain
+    # orphan sweep is min-age-guarded (racing refreshers / readers of
+    # the previous state): young orphans survive, aged ones go
     live_tops = {rel.split(os.sep, 1)[0] for rel in st["parts"].values()}
     on_disk = {d for d in os.listdir(ix.root) if os.path.isdir(os.path.join(ix.root, d))}
+    assert live_tops <= on_disk  # nothing referenced was ever deleted
+    for d in on_disk:
+        os.utime(os.path.join(ix.root, d), (1, 1))  # age everything
+    ix._sweep_orphans(st["parts"])
+    on_disk = {d for d in os.listdir(ix.root) if os.path.isdir(os.path.join(ix.root, d))}
     assert on_disk == live_tops
+
+
+def test_index_name_cannot_escape_its_directory(table):
+    """'.'/'..' pass a bare charset check; with the sweep rmtree-ing
+    inside root, an escaped name would let it destroy the table."""
+    for bad in ("..", ".", ".hidden", "-x", "", "a..b"):
+        with pytest.raises(ValueError):
+            DigestIndex(table, bad)
+    DigestIndex(table, "ok-1.2_x")  # normal names still fine
 
 
 def test_indexed_content_dedupe_in_streaming_ingest(table, spark):

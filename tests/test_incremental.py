@@ -122,3 +122,26 @@ def test_view_survives_source_disappearing(spark, tmp_table_dir):
     v.refresh()
     assert "web" not in view_rows(v)
     assert view_rows(v) == full_rollup(t)
+
+
+def test_view_rebuilds_when_base_snapshot_expired(spark, tmp_table_dir):
+    """A state pinned to an expired snapshot must fall back to a full
+    rebuild — not wedge every future refresh on the missing log entry
+    (the change feed cannot start at a snapshot that no longer exists)."""
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 800), repartition_n=2)
+    v = IncrementalRollup(t, "r3")
+    v.refresh()
+    merge_into(t, synthetic(spark, 820).filter(F.expr(f"{NUM} >= 800")))
+    t.expire_snapshots(keep_last=1)  # drops the view's base snapshot
+    with pytest.raises(FileNotFoundError):
+        t.log.get(v.state()["snapshot_id"])
+    v.refresh()
+    assert view_rows(v) == full_rollup(t)
+    assert v.state()["snapshot_id"] == t.log.current_id()
+
+
+def test_view_name_cannot_escape_its_directory(spark, tmp_table_dir):
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 100), repartition_n=1)
+    for bad in ("..", ".", ".hidden", "", "a..b"):
+        with pytest.raises(ValueError):
+            IncrementalRollup(t, bad)
