@@ -125,18 +125,46 @@ class DigestIndex:
                 continue  # vanished mid-walk → someone else is sweeping
             shutil.rmtree(full, ignore_errors=True)
 
+    # target index rows per write task (~120 MB at ~60 B/row) — sizing
+    # by source COUNT alone would funnel a 10^9-row source into one task
+    ROWS_PER_TASK = 2_000_000
+
+    def _plan_write(self, sources: list[str] | None, head: int) -> tuple[int, int]:
+        """(task count, per-source salt fan-out) from the manifest
+        list's per-partition row counts — metadata only, no scan.
+        Hash-partitioning on the source column alone can NEVER split one
+        source across tasks, so a doc-hash salt with ``spread`` values
+        rides along: the largest source splits into ~spread tasks/files
+        of ~ROWS_PER_TASK rows each."""
+        parts_df = self.table.partitions(snapshot_id=head)
+        rows = {r["partition"]: r["rows"] for r in parts_df.collect()}
+        if sources is not None:
+            rows = {s: n for s, n in rows.items() if s in sources}
+        total = sum(rows.values())
+        biggest = max(rows.values(), default=0)
+        n_tasks = max(len(rows), -(-total // self.ROWS_PER_TASK), 1)
+        spread = max(1, -(-biggest // self.ROWS_PER_TASK))
+        return n_tasks, spread
+
     # -- writes -------------------------------------------------------------
-    def _write_partitions(self, df: DataFrame, kind: str, n_groups: int) -> dict[str, str]:
+    def _write_partitions(
+        self, df: DataFrame, kind: str, plan: tuple[int, int]
+    ) -> dict[str, str]:
         """Write (doc_id, source, sig) rows into ``<kind>-<uuid>/_part=…``
         dirs and return {source: reldir}. ``source`` stays a DATA column
         (the ``_part`` copy is what partitionBy consumes), so mapping dir
         names back to values only needs Spark's own escaping, and readers
-        never need it at all."""
+        never need it at all. ``plan`` = (task count, per-source salt
+        fan-out from :meth:`_plan_write`)."""
+        n_groups, spread = plan
         top = f"{kind}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self.root, top)
+        salt = F.pmod(F.xxhash64("doc_id"), F.lit(spread))
         (
             df.withColumn(_PART_COL, F.col("source"))
-            .repartition(max(1, n_groups), _PART_COL)
+            .withColumn("_salt", salt)
+            .repartition(max(1, n_groups), _PART_COL, "_salt")
+            .drop("_salt")
             .write.partitionBy(_PART_COL)
             .parquet(out)
         )
@@ -167,9 +195,10 @@ class DigestIndex:
             except FileNotFoundError:
                 st = None  # expired base: rebuild
         if st is None:
-            n_sources = max(self.table.partitions(snapshot_id=head).count(), 1)
             parts = self._write_partitions(
-                self._index_frame(self.table.scan(snapshot_id=head)), "build", n_sources
+                self._index_frame(self.table.scan(snapshot_id=head)),
+                "build",
+                self._plan_write(None, head),
             )
             return self._write_state(head, parts)
 
@@ -192,7 +221,7 @@ class DigestIndex:
         gone = delta.filter(F.col("_ch") != "insert").select("doc_id", "source")
         old = self.to_df(sources=[s for s in changed if s in st["parts"]])
         new = old.join(F.broadcast(gone), ["doc_id", "source"], "left_anti").unionByName(adds)
-        fresh = self._write_partitions(new, "refresh", len(changed))
+        fresh = self._write_partitions(new, "refresh", self._plan_write(changed, head))
         parts = {s: p for s, p in st["parts"].items() if s not in changed}
         parts.update(fresh)  # changed sources that ended empty stay absent
         return self._write_state(head, parts)

@@ -100,6 +100,21 @@ def test_digest_index_lifecycle(table, spark):
     assert on_disk == live_tops
 
 
+def test_write_plan_scales_with_rows(table):
+    """Sizing by source count alone would funnel a huge source into one
+    task/file; the plan grows task count AND per-source salt fan-out
+    with manifest row counts (metadata only, no scan)."""
+    ix = DigestIndex(table, "sz")
+    head = table.log.current_id()
+    assert ix._plan_write(None, head) == (5, 1)  # one per source at tiny scale
+    one = table.partitions().collect()[0]["partition"]
+    assert ix._plan_write([one], head)[0] == 1
+    ix.ROWS_PER_TASK = 500
+    n_tasks, spread = ix._plan_write(None, head)
+    assert n_tasks == 8  # ceil(4000 / 500)
+    assert spread >= 2  # the biggest source splits across tasks
+
+
 def test_index_name_cannot_escape_its_directory(table):
     """'.'/'..' pass a bare charset check; with the sweep rmtree-ing
     inside root, an escaped name would let it destroy the table."""
