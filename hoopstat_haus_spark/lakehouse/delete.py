@@ -90,21 +90,19 @@ def find_touched_files(
     ``cand`` is empty when nothing matches.
     """
     head = table.log.current()
-    scan = table.scan(sources=sources)
+    # scan the PINNED head, not a re-resolved current(): a commit landing
+    # between current() and scan() would make the find pass observe files
+    # absent from head's manifest and the rewrite silently skip them
+    scan = table.scan(snapshot_id=head.snapshot_id, sources=sources)
     hits = (
         scan.filter(pred)
         .groupBy(F.input_file_name().alias("file_uri"))
         .agg(F.count(F.lit(1)).alias("n_matched"))
         .collect()
     )
-    prefix = "file:" + table.path.rstrip("/") + "/"
-
-    def to_rel(uri: str) -> str:
-        if uri.startswith(prefix):
-            return uri[len(prefix):]
-        return uri.split(table.path.rstrip("/") + "/", 1)[-1]
-
-    touched = {to_rel(r["file_uri"]): r["n_matched"] for r in hits}
+    # input_file_name() URL-encodes its URI (a table path with a space
+    # comes back as %20) — mf.uri_to_rel decodes and raises on a miss
+    touched = {mf.uri_to_rel(table.path, r["file_uri"]): r["n_matched"] for r in hits}
     matched_rows = int(sum(touched.values()))
     if not touched:
         return head, 0, [], {}
@@ -118,7 +116,16 @@ def find_touched_files(
         if r["partition"] in rel_parts
     }
     by_path = {e["file_path"]: e for es in shard_entries.values() for e in es}
-    cand = [by_path[p] for p in sorted(touched) if p in by_path]
+    # every scanned file comes FROM head's manifest (the scan is pinned
+    # above), so a miss here is metadata corruption — skipping it would
+    # commit a delete that left matched rows untouched
+    lost = [p for p in sorted(touched) if p not in by_path]
+    if lost:
+        raise RuntimeError(
+            f"{len(lost)} matched file(s) missing from head manifest "
+            f"(e.g. {lost[0]!r}) — manifest/scan disagree, refusing to commit"
+        )
+    cand = [by_path[p] for p in sorted(touched)]
     metrics.files_in = len(cand)
     metrics.bytes_in = sum(e["file_bytes"] for e in cand)
     metrics.partitions = len({e["partition"] for e in cand})
@@ -162,8 +169,10 @@ def commit_rewrite(
         for part in changed_parts
     }
     rel, new_records = mf.update_manifest(table.path, head.manifest, changed)
-    summary = dict(summary)
-    summary["rows"] = mf.summary_from_records(new_records)["rows"]
+    # full post-state aggregates (files/rows/tokens/bytes/partitions),
+    # like every other commit kind — history() and trend tooling read
+    # them; the caller's op-specific keys layer on top
+    summary = {**mf.summary_from_records(new_records), **summary}
     summary["schema_version"] = schema.version
     return table.log.commit(rel, operation, summary, expected_parent=head.snapshot_id)
 

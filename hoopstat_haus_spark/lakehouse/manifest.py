@@ -74,6 +74,24 @@ def _zq_grid_expr(zs):
     return F.when(F.size(zs) > ZQ_GRID - 1, picked).otherwise(zs)
 
 
+def uri_to_rel(table_path: str, uri: str) -> str:
+    """Map an ``input_file_name()`` URI back to a table-relative path.
+    The URI is URL-encoded (a table path with a space arrives as %20),
+    so after the raw-prefix fast path fails, decode and match against
+    the absolute root; an unmappable URI raises — silently passing the
+    URI through would plant it in the manifest as a file_path."""
+    prefix = "file:" + table_path.rstrip("/") + "/"
+    if uri.startswith(prefix):
+        return uri[len(prefix):]
+    from urllib.parse import unquote, urlparse
+
+    p = unquote(urlparse(uri).path) if ":" in uri.split("/", 1)[0] else uri
+    abs_root = os.path.abspath(table_path).rstrip("/") + "/"
+    if p.startswith(abs_root):
+        return p[len(abs_root):]
+    raise ValueError(f"file {uri!r} is not under table root {table_path!r}")
+
+
 def compute_file_stats(
     spark: SparkSession, table_path: str, rel_paths: list[str], curve: str = "zorder"
 ) -> list[dict]:
@@ -145,12 +163,8 @@ def compute_file_stats(
         .collect()
     )
     # normalize file URIs (file:///...) back to table-relative paths
-    prefix = "file:" + table_path.rstrip("/") + "/"
-
     def to_rel(uri: str) -> str:
-        if uri.startswith(prefix):
-            return uri[len(prefix):]
-        return uri.split(table_path.rstrip("/") + "/", 1)[-1]
+        return uri_to_rel(table_path, uri)
 
     # bounded second pass: files the 1/mod sample missed entirely are
     # tiny (P(empty) = ((mod-1)/mod)^rows), so collecting ALL their keys

@@ -77,13 +77,27 @@ class SnapshotLog:
     def snapshot_as_of(self, ts_ms: int) -> int:
         """Newest RETAINED snapshot committed at or before ``ts_ms``
         (Delta's TIMESTAMP AS OF). Raises if every retained snapshot is
-        newer — time travel can't reach past expiry."""
+        newer — time travel can't reach past expiry — or if expired
+        snapshots sit between the match and ``ts_ms``: a tag-protected
+        old snapshot next to an expired middle would otherwise be
+        returned SILENTLY for any timestamp in the gap, handing a
+        reproducibility consumer a years-older table state."""
         best = None
-        for sid in self.list_ids():
+        next_newer = None
+        for sid in self.list_ids():  # sorted; timestamps are monotone
             if self.get(sid).timestamp_ms <= ts_ms:
                 best = sid
+            else:
+                next_newer = sid
+                break
         if best is None:
             raise ValueError(f"no retained snapshot at or before ts_ms={ts_ms}")
+        if next_newer is not None and next_newer != best + 1:
+            raise ValueError(
+                f"snapshots v{best + 1}..v{next_newer - 1} were expired; the "
+                f"table state at ts_ms={ts_ms} is not reconstructible "
+                "(tag snapshots you need to time-travel to)"
+            )
         return best
 
     # -- commits -------------------------------------------------------

@@ -145,6 +145,11 @@ def _update_run(
         return F.col(f"__new_{c}") if c in assigns else F.col(c)
 
     updated = staged.select(*[_out(c).alias(c) for c in names])
+    # conform assignment results to the DECLARED column types (store-
+    # assignment cast, like Iceberg UPDATE): SQL `n_tok/2` is a double,
+    # and writing it as-is would commit parquet files the explicit-schema
+    # scan path can no longer read (INT32 expected, DOUBLE found)
+    updated = schema.conform(updated)
     updated = with_zkey(updated, curve=curve).sortWithinPartitions("source", mf.ZKEY_COL)
     new_files = table._write_files(updated, f"update-{job_id}", repartition_n=None)
     fresh = mf.compute_file_stats(spark, table.path, new_files, curve=curve)

@@ -130,28 +130,48 @@ def scan_staged(table: "TokenLakeTable", ref: str) -> DataFrame:
     return schema.apply_defaults(df).drop(mf.ZKEY_COL)
 
 
+def _finish_published(table: "TokenLakeTable", ref: str, snap: Snapshot) -> Snapshot:
+    """Complete a publish someone already committed: drop the staged
+    record (the committing publisher may have beaten us to that too)."""
+    try:
+        os.remove(_staged_path(table.path, ref))
+    except FileNotFoundError:
+        pass
+    return snap
+
+
 def publish_staged(table: "TokenLakeTable", ref: str, max_retries: int = 5) -> Snapshot:
     """Expose a staged batch: one append commit against the CURRENT
     head (not the stage-time head — appends commute with every commit
     kind, so the batch rebases onto whatever maintenance ran since).
-    Exactly-once via the ``wap_ref`` summary stamp."""
+    Exactly-once via the ``wap_ref`` summary stamp.
+
+    The stamp check runs before EVERY commit attempt, scanning only
+    snapshots newer than the last scanned head: a ConcurrentCommitError
+    can mean "another publisher of THIS ref won the slot", and retrying
+    without re-checking would rebase onto a head that already contains
+    the batch and append it twice."""
     # crash between commit and cleanup leaves the staged file behind —
     # finish the cleanup instead of double-appending
+    checked = -1  # highest snapshot id already scanned for the stamp
     for sid in reversed(table.log.list_ids()):
         snap = table.log.get(sid)
+        checked = max(checked, sid)
         if snap.summary.get("wap_ref") == ref:
-            try:
-                os.remove(_staged_path(table.path, ref))
-            except FileNotFoundError:
-                pass
-            return snap
+            return _finish_published(table, ref, snap)
     rec = _read_staged(table.path, ref)
     by_part: dict[str, list[dict]] = {}
     for e in rec["entries"]:
         by_part.setdefault(e["partition"], []).append(e)
     last_err: ConcurrentCommitError | None = None
-    for _ in range(max_retries):
+    for attempt in range(max_retries):
         head = table.log.current()
+        if attempt:  # head moved: did the winner publish this very ref?
+            for sid in (i for i in table.log.list_ids() if i > checked):
+                snap = table.log.get(sid)
+                checked = max(checked, sid)
+                if snap.summary.get("wap_ref") == ref:
+                    return _finish_published(table, ref, snap)
         base = {r["partition"]: r for r in mf.read_manifest_list(table.path, head.manifest)}
         changed = {
             part: (mf.read_shard(table.path, base[part]) if part in base else []) + entries
@@ -167,8 +187,7 @@ def publish_staged(table: "TokenLakeTable", ref: str, max_retries: int = 5) -> S
         except ConcurrentCommitError as exc:
             last_err = exc  # head moved: re-plan against the new head
             continue
-        os.remove(_staged_path(table.path, ref))
-        return snap
+        return _finish_published(table, ref, snap)
     raise last_err if last_err is not None else RuntimeError("publish retries exhausted")
 
 

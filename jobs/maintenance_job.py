@@ -458,7 +458,12 @@ def _dispatch(args, spark) -> dict:
         ch_df = table_changes(table, args.from_snapshot, args.to_snapshot)
         if args.out:
             ch_df.write.mode("error").parquet(args.out)
-        summary = changes_summary(ch_df)
+            # summarize from the files just written — re-running the
+            # change-diff join would execute the full-outer classify +
+            # content-sig pass a second time over every changed file
+            summary = changes_summary(spark.read.parquet(args.out))
+        else:
+            summary = changes_summary(ch_df)
         return {
             "from_snapshot": args.from_snapshot,
             "to_snapshot": args.to_snapshot if args.to_snapshot is not None else table.log.current_id(),
@@ -587,6 +592,10 @@ def _dispatch(args, spark) -> dict:
             "dry_run": args.dry_run,
         }
     if args.cmd == "tag":
+        if args.drop and not args.name:
+            # falling through to the listing would exit 0 with the tag
+            # still protecting its snapshot from expiry/GC
+            raise SystemExit("tag --drop needs --name")
         if args.name and args.drop:
             table.drop_tag(args.name)
             return {"dropped": args.name, "tags": table.tags()}

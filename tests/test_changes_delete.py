@@ -204,3 +204,25 @@ def test_changes_across_schema_evolution(table, spark):
     assert {r["_change"] for r in rows} == {"insert"}
     assert sorted(r["doc_id"] for r in rows) == [f"doc-{i:010d}" for i in range(6040, 6050)]
     assert all(r["lang"] == "en" for r in rows)
+
+
+def test_delete_summary_carries_table_aggregates(spark, tmp_path):
+    """DML snapshots stamp the same post-state aggregates every other
+    commit kind does — history()/trend tooling reads files/tokens."""
+    t = TokenLakeTable.create(spark, str(tmp_path / "s"), synthetic(spark, 700), repartition_n=2)
+    snap, _ = t.delete_where(f"{NUM} % 9 = 0")
+    for key in ("files", "rows", "tokens", "bytes", "partitions"):
+        assert snap.summary.get(key, 0) > 0, key
+    hist = {r["snapshot_id"]: r for r in t.history().collect()}
+    assert hist[snap.snapshot_id]["files"] > 0
+
+
+def test_dml_on_table_path_with_space(spark, tmp_path):
+    """input_file_name() URL-encodes its URI: a table path containing a
+    space must still map matched files back to manifest entries."""
+    t = TokenLakeTable.create(spark, str(tmp_path / "my t"), synthetic(spark, 600), repartition_n=2)
+    pre = sig_map(t.scan())
+    expected_gone = {d for d in pre if int(d[4:]) % 10 == 0}
+    snap, _ = t.delete_where(f"{NUM} % 10 = 0")
+    assert snap is not None and snap.summary["matched_rows"] == len(expected_gone)
+    assert set(sig_map(t.scan())) == set(pre) - expected_gone

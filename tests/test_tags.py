@@ -159,3 +159,47 @@ def test_expire_age_cutoff_widens_retention(spark, tmp_table_dir):
     expired2 = t.expire_snapshots(keep_last=1)
     assert expired2 == ids[1:3]
     assert t.log.list_ids() == [ids[3]]
+
+
+def test_as_of_refuses_expired_gap(spark, tmp_table_dir):
+    """A tag-protected old snapshot next to an expired middle: a
+    timestamp inside the gap must ERROR, not silently return the
+    years-older tagged state (the table's actual state then is gone)."""
+    import time
+
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 300), repartition_n=1)
+    v1 = t.log.current()
+    t.tag("rel-old")
+    gap_ts = None
+    for i in range(3):
+        time.sleep(0.02)  # ms timestamps must differ across commits
+        lo, hi = 300 + i * 50, 300 + (i + 1) * 50
+        t.append(
+            synthetic(spark, hi).filter(f"cast(substr(doc_id,5) as long) >= {lo}"),
+            repartition_n=1,
+        )
+        if gap_ts is None:
+            gap_ts = t.log.current().timestamp_ms  # v2's commit time
+    t.expire_snapshots(keep_last=2)  # retains v1 (tagged), v3, v4
+    assert t.log.list_ids() == [v1.snapshot_id, 3, 4]
+
+    with pytest.raises(ValueError, match="expired"):
+        t.scan(as_of_ms=gap_ts)  # v2's own time is no longer answerable
+    assert t.scan(as_of_ms=t.log.get(3).timestamp_ms).count() == 400  # contiguous tail fine
+    assert t.scan(tag="rel-old").count() == 300  # the tag remains the way in
+
+
+def test_tag_drop_requires_name(spark, tmp_table_dir):
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs")
+    )
+    import maintenance_job
+
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 300), repartition_n=1)
+    t.tag("keepme")
+    with pytest.raises(SystemExit):  # silently listing instead would leak the tag
+        maintenance_job.main(["tag", "--table", t.path, "--drop"])
+    assert t.tags() == {"keepme": t.log.current_id()}

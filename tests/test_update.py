@@ -156,3 +156,19 @@ def test_update_null_predicate_rows_survive_unchanged(table):
     assert snap.summary["matched_rows"] == 1
     post = sig_map(table.scan())
     assert {d for d in pre if post[d] != pre[d]} == {some_id}
+
+
+def test_update_conforms_assignment_types(spark, tmp_path):
+    """A widening RHS (SQL arithmetic promoting int to double) must be
+    store-assignment cast back to the declared column type — otherwise
+    the commit succeeds but every later explicit-schema scan of the
+    partition fails (parquet INT32 expected, DOUBLE found)."""
+    t = TokenLakeTable.create(spark, str(tmp_path / "w"), synthetic(spark, 800), repartition_n=2)
+    pre = {r["doc_id"]: r["n_tok"] for r in t.scan().select("doc_id", "n_tok").collect()}
+    snap, _ = t.update_where(f"{NUM} % 5 = 0", {"n_tok": "n_tok + cast(1.0 as double)"})
+    assert snap is not None
+    post_df = t.scan()
+    assert dict(post_df.dtypes)["n_tok"] == "int"  # declared type survived
+    post = {r["doc_id"]: r["n_tok"] for r in post_df.select("doc_id", "n_tok").collect()}
+    for d, n in pre.items():
+        assert post[d] == (n + 1 if int(d[4:]) % 5 == 0 else n)

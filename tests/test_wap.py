@@ -136,3 +136,26 @@ def test_publish_after_schema_evolution(table, spark):
     out = table.scan().filter(F.col("doc_id").startswith("waps-"))
     assert out.count() == 90
     assert {r["lang"] for r in out.select("lang").distinct().collect()} == {"und"}
+
+
+def test_concurrent_publish_of_same_ref_appends_once(table, spark, monkeypatch):
+    """Two publishers of one ref: the CAS loser must re-check the
+    wap_ref stamp on retry instead of rebasing the batch onto a head
+    that already contains it (which would append every row twice)."""
+    stage_append(table, batch(spark, 200, "race"), ref="race1")
+    pre_rows = table.scan().count()
+
+    other = TokenLakeTable(spark, table.path)  # the racing publisher
+    real_commit = table.log.commit
+    winner = []
+
+    def commit_with_race(*a, **kw):
+        if not winner:
+            winner.append(publish_staged(other, "race1"))  # winner lands first
+        return real_commit(*a, **kw)  # now raises ConcurrentCommitError
+
+    monkeypatch.setattr(table.log, "commit", commit_with_race)
+    snap = publish_staged(table, "race1")
+    assert snap.snapshot_id == winner[0].snapshot_id  # loser adopted the winner's commit
+    assert table.scan().count() == pre_rows + 200  # appended exactly once
+    assert "race1" not in staged_records(table.path)
