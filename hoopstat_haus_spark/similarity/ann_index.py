@@ -77,7 +77,10 @@ def build_ivf_index(
         "format_version": FORMAT_VERSION,
         "n_lists": n_lists,
         "dim": dim,
-        "n_vectors": assigned.count(),
+        # count the files just written (parquet footer metadata) — an
+        # assigned.count() here would re-run the KMeans transform over
+        # the whole corpus a second time for one integer
+        "n_vectors": spark.read.parquet(os.path.join(out_dir, "vectors")).count(),
     }
     tmp = os.path.join(out_dir, INDEX_META + ".tmp")
     with open(tmp, "w") as f:

@@ -7,13 +7,24 @@ corpus → ``merge_into``, with EXACTLY-ONCE table effects.
 Exactly-once: Structured Streaming's checkpoint replays a failed micro
 batch under the SAME ``batch_id``, so sinks must be idempotent per
 batch. Every merge commit here stamps ``stream_id``/``stream_batch_id``
-into the snapshot summary; a replayed batch whose id is ≤ the highest
-committed id for this stream is skipped before any Spark job runs. The
-snapshot log is the source of truth, so the guarantee survives loss of
-everything except the table itself. (Reference analog: the bronze
-ingestion's idempotency head-check before overwrite,
-``libs/hoopstat-s3/hoopstat_s3/silver_s3_manager.py:255-272`` — one
-marker per completed unit, check before write.)
+— plus the checkpoint's own query id — into the snapshot summary; a
+replayed batch whose id is ≤ the highest committed id FOR THE SAME
+QUERY ID is skipped before any Spark job runs. The query-id guard is
+what makes checkpoint loss safe: a fresh checkpoint renumbers batches
+from 0, so without it the never-ingested files that land in batches
+0..k ≤ high-water would be skipped as "replays" — silent data loss.
+With a different query id nothing is skipped; the merges run again and
+upsert idempotence (not the stamp) carries correctness, at replay-work
+cost. (Reference analog: the bronze ingestion's idempotency head-check
+before overwrite, ``libs/hoopstat-s3/hoopstat_s3/
+silver_s3_manager.py:255-272`` — one marker per completed unit, check
+before write.)
+
+Feeds may carry the optional ``_op`` column ('upsert' | 'delete' —
+``merge_into``'s contract). Delete rows bypass the corpus anti-join
+dedupe (their keys EXIST in the corpus by definition; the anti-join
+would silently swallow every tombstone) and bypass validation (they
+carry no payload to validate), but share the in-batch key dedupe.
 
 Scale notes (100 TB): feed discovery/state is Spark's file-source
 checkpoint (driver-side listing of NEW files only); ``dedupe='key'``
@@ -37,31 +48,55 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from hoopstat_haus_spark.lakehouse.merge import merge_into
+from hoopstat_haus_spark.lakehouse.merge import OP_COL, merge_into
 from hoopstat_haus_spark.lakehouse.table import TokenLakeTable
 from hoopstat_haus_spark.tables.token_table import token_sig
 
 SUMMARY_STREAM_ID = "stream_id"
 SUMMARY_BATCH_ID = "stream_batch_id"
+SUMMARY_QUERY_ID = "stream_query_id"
+
+
+def _checkpoint_query_id(checkpoint_dir: str | None) -> str | None:
+    """The streaming query id from ``<checkpoint>/metadata`` — written
+    by Spark at query start (before batch 0 runs), stable across
+    restarts with the same checkpoint, fresh for a new checkpoint dir.
+    None when unreadable (e.g. tests driving the processor directly)."""
+    if not checkpoint_dir:
+        return None
+    import json
+    import os
+
+    try:
+        with open(os.path.join(checkpoint_dir, "metadata")) as f:
+            return json.load(f)["id"]
+    except (OSError, KeyError, ValueError):
+        return None
+
+
+def last_committed_stamp(table: TokenLakeTable, stream_id: str) -> tuple[str | None, int]:
+    """(query_id, batch_id) of the newest snapshot stamped for
+    ``stream_id`` ((None, −1) if none). Walks the snapshot log
+    newest-first and stops at the first stamp: a stream's commits are
+    ordered, so the newest stamp IS its high-water mark — O(snapshots
+    since the last ingest), not O(history), per micro-batch.
+
+    If snapshot expiry has dropped every stamped snapshot, this returns
+    (None, −1) and a replayed batch would merge again — which is still
+    CORRECT: re-upserting identical (doc_id, source)→tokens rows (and
+    re-deleting absent ones) is a semantic no-op; the stamp only avoids
+    the wasted work and keeps snapshot counts stable under replay."""
+    for sid in reversed(table.log.list_ids()):
+        s = table.log.get(sid).summary
+        if s.get(SUMMARY_STREAM_ID) == stream_id:
+            return s.get(SUMMARY_QUERY_ID), int(s.get(SUMMARY_BATCH_ID, -1))
+    return None, -1
 
 
 def last_committed_batch(table: TokenLakeTable, stream_id: str) -> int:
     """Highest ``stream_batch_id`` any snapshot records for ``stream_id``
-    (−1 if none). Walks the snapshot log newest-first and stops at the
-    first stamp: a stream's commits are ordered, so the newest stamp IS
-    its high-water mark — O(snapshots since the last ingest), not
-    O(history), per micro-batch.
-
-    If snapshot expiry has dropped every stamped snapshot, this returns
-    −1 and a replayed batch would merge again — which is still CORRECT:
-    re-upserting identical (doc_id, source)→tokens rows (and re-deleting
-    absent ones) is a semantic no-op; the stamp only avoids the wasted
-    work and keeps snapshot counts stable under replay."""
-    for sid in reversed(table.log.list_ids()):
-        s = table.log.get(sid).summary
-        if s.get(SUMMARY_STREAM_ID) == stream_id:
-            return int(s.get(SUMMARY_BATCH_ID, -1))
-    return -1
+    (−1 if none)."""
+    return last_committed_stamp(table, stream_id)[1]
 
 
 def dedupe_batch(batch: DataFrame) -> DataFrame:
@@ -122,6 +157,7 @@ def make_batch_processor(
     dedupe: str | None = "key",
     validate: bool = False,
     content_index: str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """The ``foreachBatch`` function — exposed separately so tests can
     drive replay semantics without a running stream.
@@ -139,16 +175,35 @@ def make_batch_processor(
     standard ``replay`` fixes instead of entering the corpus. The
     sidecar write happens before the merge commit, so a crash in
     between replays the batch — already-quarantined keys are anti-
-    joined away, making the quarantine leg idempotent too."""
+    joined away, making the quarantine leg idempotent too.
+
+    ``checkpoint_dir`` enables the query-id guard on the replay skip
+    (see module docstring); without it (direct test drives) the skip
+    falls back to batch-id-only — correct only while batch ids come
+    from one numbering."""
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        if batch_id <= last_committed_batch(table, stream_id):
+        qid = _checkpoint_query_id(checkpoint_dir)
+        last_qid, last_bid = last_committed_stamp(table, stream_id)
+        # skip a replay ONLY under the same batch numbering: a fresh
+        # checkpoint (different query id) renumbers from 0, and skipping
+        # by id alone would silently drop never-ingested files
+        if batch_id <= last_bid and (qid is None or last_qid is None or qid == last_qid):
             return  # replayed micro-batch: already merged, skip entirely
         # live-schema intersection, not the base four: an evolved column
         # present in the feed must reach merge_into (absent ones become
-        # NULL -> default there)
+        # NULL -> default there). _op rides along when present — it IS
+        # merge_into's delete channel; dropping it would silently turn
+        # feed tombstones into upserts.
         cols = [n for n in table.schema_def().names() if n in batch.columns]
-        incoming = batch.select(*cols)
+        has_op = OP_COL in batch.columns
+        incoming = batch.select(*cols + ([OP_COL] if has_op else []))
+        deletes = None
+        if has_op:
+            deletes = dedupe_batch(incoming.filter(F.col(OP_COL) == "delete"))
+            incoming = incoming.filter(
+                F.coalesce(F.col(OP_COL), F.lit("upsert")) != "delete"
+            ).drop(OP_COL)
         if validate:
             from hoopstat_haus_spark.lakehouse.quarantine import (
                 quarantine_batch,
@@ -185,15 +240,22 @@ def make_batch_processor(
                 idx = DigestIndex(table, content_index)
                 idx.refresh()  # advance to head before the merge below
             updates = _anti_corpus(updates, table, dedupe, index=idx)
+        if deletes is not None:
+            # tombstones bypass the corpus anti-join (their keys exist by
+            # definition — key dedupe would swallow every delete)
+            updates = updates.withColumn(OP_COL, F.lit("upsert")).unionByName(deletes)
         # rows survive post-dedupe? one cheap probe; an all-duplicate batch
         # commits nothing (replay of a no-op batch is naturally a no-op)
         if updates.isEmpty():
             return
+        extra = {SUMMARY_STREAM_ID: stream_id, SUMMARY_BATCH_ID: batch_id}
+        if qid is not None:
+            extra[SUMMARY_QUERY_ID] = qid
         merge_into(
             table,
             updates,
             job_id=f"{stream_id}-b{batch_id}",
-            summary_extra={SUMMARY_STREAM_ID: stream_id, SUMMARY_BATCH_ID: batch_id},
+            summary_extra=extra,
         )
 
     return process
@@ -216,15 +278,22 @@ def stream_ingest(
     same ``checkpoint_dir`` picks up only NEW files — incremental
     ingestion as a cron job; a long-lived service would swap the trigger
     for a processing-time one, nothing else changes."""
+    # _op rides in the read schema so feed tombstones survive the source
+    # (parquet files without the column read it as NULL → upsert default)
     reader = (
-        spark.readStream.schema(table.schema_def().ddl())
+        spark.readStream.schema(table.schema_def().ddl(extra=((OP_COL, "string"),)))
         .option("maxFilesPerTrigger", max_files_per_trigger or 1000)
         .parquet(feed_dir)
     )
     q = (
         reader.writeStream.foreachBatch(
             make_batch_processor(
-                table, stream_id, dedupe, validate=validate, content_index=content_index
+                table,
+                stream_id,
+                dedupe,
+                validate=validate,
+                content_index=content_index,
+                checkpoint_dir=checkpoint_dir,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -201,6 +201,11 @@ def shuffle_sequences(seqs: DataFrame, n_out_shards: int, salt: str = "shuf") ->
         .withColumn("_out_shard", F.pmod(F.col("_shuffle_key"), F.lit(n_out_shards)).cast("int"))
         .repartition(n_out_shards, "_out_shard")
         .sortWithinPartitions("_out_shard", "_shuffle_key", "seq_id")
+        # _out_shard stays (it IS the shard identity a reader needs);
+        # the key is pure recomputable noise — written verbatim by the
+        # corpus CLI it would add 8 dead bytes per training sequence.
+        # The projection is deterministic, so the sorted order survives.
+        .drop("_shuffle_key")
     )
 
 

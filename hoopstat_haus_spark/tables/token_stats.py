@@ -67,9 +67,15 @@ def vocab_stats(tokens_df: DataFrame) -> DataFrame:
         round_stable(
             F.log2(F.sum("n")) - F.sum(F.col("n") * F.log2("n")) / F.sum("n"), 6
         ).alias("entropy_bits"),
+        # single-distinct-token corpora are 0/0 under IEEE (entropy 0 over
+        # log2(1)=0 → NaN) — exactly the degenerate case the ratio exists
+        # to flag, so pin it to the documented 0
         round_stable(
-            (F.log2(F.sum("n")) - F.sum(F.col("n") * F.log2("n")) / F.sum("n"))
-            / F.log2(F.count(F.lit(1))),
+            F.when(
+                F.count(F.lit(1)) > 1,
+                (F.log2(F.sum("n")) - F.sum(F.col("n") * F.log2("n")) / F.sum("n"))
+                / F.log2(F.count(F.lit(1))),
+            ).otherwise(F.lit(0.0)),
             6,
         ).alias("entropy_ratio"),
     )

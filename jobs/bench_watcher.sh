@@ -16,6 +16,11 @@ cd "$(dirname "$0")/.."
 THRESH="${1:-0.92}"
 PREFIX="${2:-.scratch/bench_watch}"
 LOG="$PREFIX.log"
+mkdir -p "$(dirname "$PREFIX")" || { echo "cannot create output dir for $PREFIX" >&2; exit 2; }
+# a missing/zero calibration makes every probe fail silently (0/0) and
+# the watcher would poll 2 h then misreport host throttle — fail fast
+python -c "import bench; c=bench._read_calibration(); exit(0 if c and c>0 else 1)" 2>/dev/null \
+  || { echo "no bench calibration (run python bench.py once to create it)" >&2; exit 2; }
 probe() { python -c "import bench; print(round(bench._abs_cpu_probe()/bench._read_calibration(),3))" 2>/dev/null; }
 ok() { python -c "exit(0 if float('${1:-0}' or 0)>=$THRESH else 1)" 2>/dev/null; }
 echo "$(date +%T) watcher start (thresh $THRESH)" >> "$LOG"
@@ -29,8 +34,9 @@ for _ in $(seq 1 240); do
     if ok "$r2"; then
       echo "$(date +%T) LAUNCH" >> "$LOG"
       python bench.py > "$PREFIX.json" 2> "$PREFIX.err"
-      echo "$(date +%T) DONE rc=$?" >> "$LOG"
-      exit 0
+      rc=$?
+      echo "$(date +%T) DONE rc=$rc" >> "$LOG"
+      exit "$rc"
     fi
   fi
   sleep 30

@@ -160,13 +160,27 @@ def test_shuffle_sequences_is_deterministic_permutation(spark):
     seqs = pack_sequences(from_documents(spark, SF_DIR), SEQ_LEN, N_SHARDS)
     a = shuffle_sequences(seqs, 4, "s1").collect()
     b = shuffle_sequences(seqs, 4, "s1").collect()
+    # the internal sort key is dropped from the output (it would be dead
+    # weight in the written training artifact) — recompute it to check
+    # ordering
+    assert "_shuffle_key" not in shuffle_sequences(seqs, 4, "s1").columns
+    from pyspark.sql import functions as Fk
+
+    from hoopstat_haus_spark.tables.packing import _salt_seed
+
+    key_of = {
+        r["seq_id"]: r["k"]
+        for r in seqs.select(
+            "seq_id", Fk.xxhash64("seq_id", Fk.lit(_salt_seed("s1"))).alias("k")
+        ).collect()
+    }
     # permutation: same multiset of sequences, nothing lost or dup'd
     assert Counter(r.seq_id for r in a) == Counter(r.seq_id for r in seqs.collect())
     # deterministic: identical shard assignment AND identical order
     assert [(r.seq_id, r._out_shard) for r in a] == [(r.seq_id, r._out_shard) for r in b]
     # rows arrive shard-by-shard, sorted by the shuffle key inside each
     for shard in range(4):
-        keys = [r._shuffle_key for r in a if r._out_shard == shard]
+        keys = [key_of[r.seq_id] for r in a if r._out_shard == shard]
         assert keys == sorted(keys)
     # the packing order (runs of one source) is destroyed: consecutive
     # output rows rarely share a source

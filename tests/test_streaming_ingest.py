@@ -193,3 +193,55 @@ def test_anti_corpus_never_shuffles_the_corpus(env):
         plan = plan_of(_anti_corpus(batch, t, mode))
         assert "SortMergeJoin" not in plan, mode
         assert plan.count("BroadcastHashJoin") >= 2, mode
+
+
+def test_lost_checkpoint_does_not_drop_new_files(env):
+    """A fresh checkpoint renumbers batches from 0; with the high-water
+    skip keyed on batch id alone, never-ingested files landing in
+    batches 0..k <= the old mark were silently skipped. The query-id
+    stamp scopes the skip to one batch numbering."""
+    spark, t, feed, ckpt = env
+    _drop_feed_file(
+        synthetic(spark, 3100).filter(F.col("doc_id") >= "doc-0000003000"), feed, "b1"
+    )
+    stream_ingest(spark, t, feed, ckpt, stream_id="s1")
+    assert t.scan().count() == 3100
+    from hoopstat_haus_spark.streaming.ingest import last_committed_stamp
+
+    qid1, bid1 = last_committed_stamp(t, "s1")
+    assert qid1 is not None and bid1 == 0  # stamp carries the query id
+
+    # checkpoint lost: new dir, new file — renumbered batch 0 must merge
+    shutil.rmtree(ckpt)
+    _drop_feed_file(
+        synthetic(spark, 3200).filter(F.col("doc_id") >= "doc-0000003100"), feed, "b2"
+    )
+    stream_ingest(spark, t, feed, ckpt + "2", stream_id="s1")
+    assert t.scan().count() == 3200  # pre-fix: stuck at 3100, silent loss
+    qid2, _ = last_committed_stamp(t, "s1")
+    assert qid2 is not None and qid2 != qid1
+
+    # and a same-checkpoint re-run still skips (no extra snapshot)
+    head = t.log.current_id()
+    stream_ingest(spark, t, feed, ckpt + "2", stream_id="s1")
+    assert t.log.current_id() == head
+
+
+def test_feed_op_delete_rows_reach_merge(env):
+    """_op='delete' tombstones must survive the schema projection AND
+    bypass the corpus anti-join (their keys exist by definition — key
+    dedupe would swallow every delete)."""
+    spark, t, feed, ckpt = env
+    victims = [r["doc_id"] for r in t.scan().select("doc_id").limit(3).collect()]
+    adds = synthetic(spark, 3050).filter(F.col("doc_id") >= "doc-0000003000")
+    dels = (
+        t.scan()
+        .filter(F.col("doc_id").isin(victims))
+        .select("doc_id", "tokens", "n_tok", "source")
+        .withColumn("_op", F.lit("delete"))
+    )
+    batch = adds.withColumn("_op", F.lit("upsert")).unionByName(dels)
+    proc = make_batch_processor(t, "sdel", dedupe="key")
+    proc(batch, 0)
+    assert t.scan().filter(F.col("doc_id").isin(victims)).count() == 0
+    assert t.scan().count() == 3000 - 3 + 50

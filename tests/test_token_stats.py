@@ -74,3 +74,16 @@ def test_top_tokens_is_heap_not_global_sort(spark):
     with redirect_stdout(buf):
         top_tokens(from_documents(spark, SF_DIR), 10).explain("formatted")
     assert "TakeOrderedAndProject" in buf.getvalue()
+
+
+def test_entropy_ratio_degenerate_single_token(spark):
+    """A corpus whose every token is the same id: 0/0 under IEEE would
+    yield NaN — the documented value is 0 (fully degenerate)."""
+    df = spark.createDataFrame(
+        [("d1", [7, 7, 7], 3, "s"), ("d2", [7, 7], 2, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    row = vocab_stats(df).collect()[0]
+    assert row.distinct_tokens == 1
+    assert row.entropy_bits == 0.0
+    assert row.entropy_ratio == 0.0  # not NaN
