@@ -76,15 +76,17 @@ def _zq_grid_expr(zs):
 
 def uri_to_rel(table_path: str, uri: str) -> str:
     """Map an ``input_file_name()`` URI back to a table-relative path.
-    The URI is URL-encoded (a table path with a space arrives as %20),
-    so after the raw-prefix fast path fails, decode and match against
-    the absolute root; an unmappable URI raises — silently passing the
-    URI through would plant it in the manifest as a file_path."""
-    prefix = "file:" + table_path.rstrip("/") + "/"
-    if uri.startswith(prefix):
-        return uri[len(prefix):]
+    The URI is URL-encoded END TO END (a space anywhere — root OR a
+    partition value — arrives as %20, and an on-disk literal '%' from
+    Spark's own partition escaping arrives as %25), so EVERY branch
+    decodes exactly once; manifests store the decoded on-disk names.
+    An unmappable URI raises — silently passing it through would plant
+    it in the manifest as a file_path."""
     from urllib.parse import unquote, urlparse
 
+    prefix = "file:" + table_path.rstrip("/") + "/"
+    if uri.startswith(prefix):
+        return unquote(uri[len(prefix):])
     p = unquote(urlparse(uri).path) if ":" in uri.split("/", 1)[0] else uri
     abs_root = os.path.abspath(table_path).rstrip("/") + "/"
     if p.startswith(abs_root):

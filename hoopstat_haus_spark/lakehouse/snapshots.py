@@ -121,13 +121,19 @@ class SnapshotLog:
         head = self.current_id()
         if expected_parent is not None and head != expected_parent:
             raise ConcurrentCommitError(f"planned against v{expected_parent}, head is v{head}")
+        # clamp to the parent's timestamp: snapshot times are NON-
+        # DECREASING by construction (a stepped-back wall clock must not
+        # break snapshot_as_of's monotone walk)
+        ts = int(time.time() * 1000)
+        if head is not None:
+            ts = max(ts, self.get(head).timestamp_ms)
         snap = Snapshot(
             snapshot_id=(head or 0) + 1,
             parent_id=head,
             manifest=manifest,
             operation=operation,
             summary=summary or {},
-            timestamp_ms=int(time.time() * 1000),
+            timestamp_ms=ts,
         )
         snap_path = os.path.join(self.dir, f"{snap.name}.json")
         tmp = snap_path + f".tmp-{uuid.uuid4().hex[:8]}"

@@ -164,14 +164,16 @@ def publish_staged(table: "TokenLakeTable", ref: str, max_retries: int = 5) -> S
     for e in rec["entries"]:
         by_part.setdefault(e["partition"], []).append(e)
     last_err: ConcurrentCommitError | None = None
-    for attempt in range(max_retries):
+    for _ in range(max_retries):
         head = table.log.current()
-        if attempt:  # head moved: did the winner publish this very ref?
-            for sid in (i for i in table.log.list_ids() if i > checked):
-                snap = table.log.get(sid)
-                checked = max(checked, sid)
-                if snap.summary.get("wap_ref") == ref:
-                    return _finish_published(table, ref, snap)
+        # re-check ANY snapshot committed since the last scan — including
+        # on the first attempt (a same-ref publish can land between the
+        # initial full scan and this head read)
+        for sid in (i for i in table.log.list_ids() if i > checked):
+            snap = table.log.get(sid)
+            checked = max(checked, sid)
+            if snap.summary.get("wap_ref") == ref:
+                return _finish_published(table, ref, snap)
         base = {r["partition"]: r for r in mf.read_manifest_list(table.path, head.manifest)}
         changed = {
             part: (mf.read_shard(table.path, base[part]) if part in base else []) + entries

@@ -24,7 +24,10 @@ Feeds may carry the optional ``_op`` column ('upsert' | 'delete' —
 ``merge_into``'s contract). Delete rows bypass the corpus anti-join
 dedupe (their keys EXIST in the corpus by definition; the anti-join
 would silently swallow every tombstone) and bypass validation (they
-carry no payload to validate), but share the in-batch key dedupe.
+carry no payload to validate), but share the in-batch key dedupe; a
+key appearing in BOTH channels of one batch resolves to the tombstone
+(the feed carries no intra-batch order — deterministic delete-wins,
+never a duplicate-key merge crash).
 
 Scale notes (100 TB): feed discovery/state is Spark's file-source
 checkpoint (driver-side listing of NEW files only); ``dedupe='key'``
@@ -242,8 +245,18 @@ def make_batch_processor(
             updates = _anti_corpus(updates, table, dedupe, index=idx)
         if deletes is not None:
             # tombstones bypass the corpus anti-join (their keys exist by
-            # definition — key dedupe would swallow every delete)
-            updates = updates.withColumn(OP_COL, F.lit("upsert")).unionByName(deletes)
+            # definition — key dedupe would swallow every delete). A key
+            # present in BOTH channels would reach merge as a duplicate
+            # and wedge the stream (foreachBatch replays the crash
+            # forever) — the feed carries no intra-batch order, so the
+            # tombstone wins deterministically: upserts for deleted keys
+            # are dropped here. Feeds needing insert-after-delete must
+            # put the ops in separate batches.
+            updates = (
+                updates.join(deletes.select("doc_id", "source"), ["doc_id", "source"], "left_anti")
+                .withColumn(OP_COL, F.lit("upsert"))
+                .unionByName(deletes)
+            )
         # rows survive post-dedupe? one cheap probe; an all-duplicate batch
         # commits nothing (replay of a no-op batch is naturally a no-op)
         if updates.isEmpty():

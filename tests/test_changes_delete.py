@@ -226,3 +226,22 @@ def test_dml_on_table_path_with_space(spark, tmp_path):
     snap, _ = t.delete_where(f"{NUM} % 10 = 0")
     assert snap is not None and snap.summary["matched_rows"] == len(expected_gone)
     assert set(sig_map(t.scan())) == set(pre) - expected_gone
+
+
+def test_dml_on_partition_value_with_space(spark, tmp_path):
+    """URL-encoding appears in the URI wherever the special char lives —
+    a clean table root with an encoded PARTITION value must decode too,
+    or the strict manifest lookup refuses the whole delete."""
+    t = TokenLakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        synthetic(spark, 400).withColumn(
+            "source", F.concat(F.lit("my "), F.col("source"))
+        ),
+        repartition_n=2,
+    )
+    pre = sig_map(t.scan())
+    gone = {d for d in pre if int(d[4:]) % 8 == 0}
+    snap, _ = t.delete_where(f"{NUM} % 8 = 0")
+    assert snap is not None and snap.summary["matched_rows"] == len(gone)
+    assert set(sig_map(t.scan())) == set(pre) - gone

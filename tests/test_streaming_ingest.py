@@ -245,3 +245,16 @@ def test_feed_op_delete_rows_reach_merge(env):
     proc(batch, 0)
     assert t.scan().filter(F.col("doc_id").isin(victims)).count() == 0
     assert t.scan().count() == 3000 - 3 + 50
+
+
+def test_same_key_upsert_and_delete_in_one_batch(env):
+    """A key in both channels of one micro-batch must resolve to the
+    tombstone instead of reaching merge as a duplicate key (which would
+    crash — and foreachBatch would replay the crash forever)."""
+    spark, t, feed, ckpt = env
+    victim = t.scan().select("doc_id", "tokens", "n_tok", "source").first()
+    up = spark.createDataFrame([victim], t.scan().schema).withColumn("_op", F.lit("upsert"))
+    down = spark.createDataFrame([victim], t.scan().schema).withColumn("_op", F.lit("delete"))
+    proc = make_batch_processor(t, "sboth", dedupe=None)
+    proc(up.unionByName(down), 0)
+    assert t.scan().filter(F.col("doc_id") == victim["doc_id"]).count() == 0

@@ -203,3 +203,22 @@ def test_tag_drop_requires_name(spark, tmp_table_dir):
     with pytest.raises(SystemExit):  # silently listing instead would leak the tag
         maintenance_job.main(["tag", "--table", t.path, "--drop"])
     assert t.tags() == {"keepme": t.log.current_id()}
+
+
+def test_commit_timestamps_never_decrease(spark, tmp_table_dir, monkeypatch):
+    """snapshot_as_of's monotone walk is an INVARIANT, not an assumption:
+    a stepped-back wall clock clamps to the parent's timestamp."""
+    import time as _time
+    import types
+
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 300), repartition_n=1)
+    v1 = t.log.current()
+    # scope the stepped-back clock to the snapshot log only (patching
+    # the global time.time mid-Spark-job would break py4j timeouts)
+    shim = types.SimpleNamespace(time=lambda: _time.time() - 3600)
+    monkeypatch.setattr("hoopstat_haus_spark.lakehouse.snapshots.time", shim)
+    t.update_where("cast(substr(doc_id,5) as long) % 3 = 0", {"n_tok": "n_tok"})
+    v2 = t.log.current()
+    assert v2.timestamp_ms >= v1.timestamp_ms
+    monkeypatch.undo()
+    assert t.log.snapshot_as_of(v2.timestamp_ms) == v2.snapshot_id

