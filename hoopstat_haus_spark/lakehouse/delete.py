@@ -107,9 +107,16 @@ def find_touched_files(
     if not touched:
         return head, 0, [], {}
 
-    # only the touched partitions' shards are materialized driver-side
+    # only the touched partitions' shards are materialized driver-side.
+    # Dir names carry Spark's partition escaping (%XX for '%', '=', ':'…)
+    # while manifest records store the RAW source value — unescape when
+    # extracting the value (Hive unescapePathName ≡ percent-decoding)
+    from urllib.parse import unquote
+
     records = mf.read_manifest_list(table.path, head.manifest)
-    rel_parts = {p.split("/", 2)[1].split("=", 1)[1] for p in touched}  # data/source=<s>/...
+    rel_parts = {
+        unquote(p.split("/", 2)[1].split("=", 1)[1]) for p in touched
+    }  # data/source=<s>/...
     shard_entries = {
         r["partition"]: mf.read_shard(table.path, r)
         for r in records

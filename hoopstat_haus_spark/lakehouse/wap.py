@@ -159,7 +159,17 @@ def publish_staged(table: "TokenLakeTable", ref: str, max_retries: int = 5) -> S
         checked = max(checked, sid)
         if snap.summary.get("wap_ref") == ref:
             return _finish_published(table, ref, snap)
-    rec = _read_staged(table.path, ref)
+    try:
+        rec = _read_staged(table.path, ref)
+    except KeyError:
+        # the staged record vanished between the scan and this read — a
+        # rival publisher may have committed AND cleaned up in that
+        # window; its stamp decides whether this is success or an error
+        for sid in (i for i in table.log.list_ids() if i > checked):
+            snap = table.log.get(sid)
+            if snap.summary.get("wap_ref") == ref:
+                return _finish_published(table, ref, snap)
+        raise
     by_part: dict[str, list[dict]] = {}
     for e in rec["entries"]:
         by_part.setdefault(e["partition"], []).append(e)

@@ -252,8 +252,15 @@ def make_batch_processor(
             # tombstone wins deterministically: upserts for deleted keys
             # are dropped here. Feeds needing insert-after-delete must
             # put the ops in separate batches.
+            dkeys = deletes.select("doc_id", "source")
+            # null-SAFE match (like the quarantine leg): a null-key row in
+            # both channels would equi-miss and still reach merge as a
+            # duplicate; broadcast the delete keys (bounded by batch size)
+            cond = updates["doc_id"].eqNullSafe(dkeys["doc_id"]) & updates[
+                "source"
+            ].eqNullSafe(dkeys["source"])
             updates = (
-                updates.join(deletes.select("doc_id", "source"), ["doc_id", "source"], "left_anti")
+                updates.join(F.broadcast(dkeys), cond, "left_anti")
                 .withColumn(OP_COL, F.lit("upsert"))
                 .unionByName(deletes)
             )

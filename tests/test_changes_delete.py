@@ -245,3 +245,23 @@ def test_dml_on_partition_value_with_space(spark, tmp_path):
     snap, _ = t.delete_where(f"{NUM} % 8 = 0")
     assert snap is not None and snap.summary["matched_rows"] == len(gone)
     assert set(sig_map(t.scan())) == set(pre) - gone
+
+
+def test_dml_on_partition_value_spark_escapes(spark, tmp_path):
+    """Chars in Spark's partition-escaping set ('%', ':') are stored
+    %XX-encoded in dir names but RAW in manifest records — the find
+    pass must unescape when selecting shards, or every DML on such a
+    table refuses to commit."""
+    t = TokenLakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        synthetic(spark, 400).withColumn(
+            "source", F.concat(F.lit("a%x:"), F.col("source"))
+        ),
+        repartition_n=2,
+    )
+    pre = sig_map(t.scan())
+    gone = {d for d in pre if int(d[4:]) % 6 == 0}
+    snap, _ = t.delete_where(f"{NUM} % 6 = 0")
+    assert snap is not None and snap.summary["matched_rows"] == len(gone)
+    assert set(sig_map(t.scan())) == set(pre) - gone

@@ -258,3 +258,20 @@ def test_same_key_upsert_and_delete_in_one_batch(env):
     proc = make_batch_processor(t, "sboth", dedupe=None)
     proc(up.unionByName(down), 0)
     assert t.scan().filter(F.col("doc_id") == victim["doc_id"]).count() == 0
+
+
+def test_null_key_in_both_channels_does_not_wedge(env, spark):
+    """Null-key rows in both channels equi-miss a plain anti-join (null
+    != null) and reach merge as duplicates — the null-safe delete-wins
+    join must swallow the upsert side."""
+    _, t, _, _ = env
+    row = t.scan().select("doc_id", "tokens", "n_tok", "source").first()
+    nulled = spark.createDataFrame([row], t.scan().schema).withColumn(
+        "doc_id", F.lit(None).cast("string")
+    )
+    both = nulled.withColumn("_op", F.lit("upsert")).unionByName(
+        nulled.withColumn("_op", F.lit("delete"))
+    )
+    pre = t.scan().count()
+    make_batch_processor(t, "snull", dedupe=None)(both, 0)  # must not raise
+    assert t.scan().count() == pre  # null tombstone matches nothing

@@ -176,3 +176,27 @@ def test_publish_detects_same_ref_commit_before_first_attempt(table, spark):
     snap = publish_staged(table, "race0")
     assert snap.snapshot_id == winner.snapshot_id
     assert table.scan().count() == pre + 120
+
+
+def test_publish_survives_rival_cleanup_between_scan_and_read(table, spark, monkeypatch):
+    """Rival publishes AND removes the staged record between this
+    publisher's stamp scan and its staged read: the KeyError resolves to
+    the rival's commit instead of a spurious error."""
+    import hoopstat_haus_spark.lakehouse.wap as wap
+
+    stage_append(table, batch(spark, 80, "racex"), ref="racex")
+    pre = table.scan().count()
+    other = TokenLakeTable(spark, table.path)
+    winner = []
+    real_read = wap._read_staged
+
+    def read_after_rival(path, ref):
+        if not winner:
+            winner.append(None)  # guard first: the rival re-enters this patch
+            winner[0] = publish_staged(other, ref)  # commits + cleans up
+        return real_read(path, ref)  # now raises KeyError
+
+    monkeypatch.setattr(wap, "_read_staged", read_after_rival)
+    snap = publish_staged(table, "racex")
+    assert snap.snapshot_id == winner[0].snapshot_id
+    assert table.scan().count() == pre + 80
