@@ -13,13 +13,22 @@ def main() -> str:
     out = os.path.join(REPO, "dist", "hoopstat_haus_spark.zip")
     with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
         pkg = os.path.join(REPO, "hoopstat_haus_spark")
+        entries = []
         for dirpath, _dirs, files in os.walk(pkg):
             if "__pycache__" in dirpath:
                 continue
             for name in files:
                 if name.endswith(".py"):
                     full = os.path.join(dirpath, name)
-                    z.write(full, os.path.relpath(full, REPO))
+                    entries.append((os.path.relpath(full, REPO), full))
+        # Deterministic bytes: sorted member order, fixed timestamp — a
+        # rebuild from an unchanged tree reproduces the tracked zip exactly.
+        for rel, full in sorted(entries):
+            info = zipfile.ZipInfo(rel, date_time=(2020, 1, 1, 0, 0, 0))
+            info.compress_type = zipfile.ZIP_DEFLATED
+            info.external_attr = 0o644 << 16
+            with open(full, "rb") as fh:
+                z.writestr(info, fh.read())
     print(out)
     return out
 
