@@ -45,16 +45,13 @@ def changed_files(table: TokenLakeTable, from_id: int, to_id: int) -> tuple[list
     partition whose shard is carried by reference between the snapshots
     costs nothing (the shard parquet is never opened)."""
     old_snap, new_snap = table.log.get(from_id), table.log.get(to_id)
-    old_recs = {r["partition"]: r for r in mf.read_manifest_list(table.path, old_snap.manifest)}
-    new_recs = {r["partition"]: r for r in mf.read_manifest_list(table.path, new_snap.manifest)}
     added: list[str] = []
     removed: list[str] = []
-    for part in sorted(set(old_recs) | set(new_recs)):
-        o, n = old_recs.get(part), new_recs.get(part)
-        if o is not None and n is not None and o.get("path") is not None and o["path"] == n.get("path"):
-            continue  # same immutable shard → byte-identical partition
-        old_files = {e["file_path"] for e in (mf.read_shard(table.path, o) if o else [])}
-        new_files = {e["file_path"] for e in (mf.read_shard(table.path, n) if n else [])}
+    for _part, old_entries, new_entries in mf.diff_partition_entries(
+        table.path, old_snap.manifest, new_snap.manifest
+    ):
+        old_files = {e["file_path"] for e in old_entries}
+        new_files = {e["file_path"] for e in new_entries}
         added.extend(sorted(new_files - old_files))
         removed.extend(sorted(old_files - new_files))
     return added, removed

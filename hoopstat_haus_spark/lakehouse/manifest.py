@@ -323,6 +323,37 @@ def read_shard(table_path: str, record: dict) -> list[dict]:
     return pq.read_table(os.path.join(table_path, record["path"])).to_pylist()
 
 
+def diff_partition_entries(table_path: str, old_manifest: str, new_manifest: str):
+    """Yield ``(partition, old_entries, new_entries)`` for every
+    partition whose manifest shard DIFFERS between two manifests — the
+    single shard-aware diff walk behind both incremental partition
+    discovery (``table.changed_partitions_since``) and the row-level
+    change feed (``changes.changed_files``).
+
+    A partition carried by reference (identical immutable shard path on
+    both sides) is skipped without opening the shard parquet, so the
+    walk costs O(changed partitions). Entries are the full per-file
+    dicts; ``[]`` marks a side where the partition is absent. Legacy
+    monolithic manifests (path None records) compare at entry level —
+    their synthesized records never alias, so they are always opened."""
+    old_recs = {r["partition"]: r for r in read_manifest_list(table_path, old_manifest)}
+    new_recs = {r["partition"]: r for r in read_manifest_list(table_path, new_manifest)}
+    for part in sorted(set(old_recs) | set(new_recs)):
+        o, n = old_recs.get(part), new_recs.get(part)
+        if (
+            o is not None
+            and n is not None
+            and o.get("path") is not None
+            and o["path"] == n.get("path")
+        ):
+            continue  # same immutable shard → byte-identical partition
+        yield (
+            part,
+            read_shard(table_path, o) if o else [],
+            read_shard(table_path, n) if n else [],
+        )
+
+
 def update_manifest(
     table_path: str,
     base_rel: str | None,

@@ -657,15 +657,12 @@ class TokenLakeTable:
         without reading it — the diff costs O(changed partitions)."""
         old_snap = self.log.get(snapshot_id)
         new_snap = self.log.current()
-        old_recs = {r["partition"]: r for r in mf.read_manifest_list(self.path, old_snap.manifest)}
-        new_recs = {r["partition"]: r for r in mf.read_manifest_list(self.path, new_snap.manifest)}
         out: dict[str, dict] = {}
-        for part in sorted(set(old_recs) | set(new_recs)):
-            o, n = old_recs.get(part), new_recs.get(part)
-            if o is not None and n is not None and o.get("path") is not None and o["path"] == n.get("path"):
-                continue  # same immutable shard → byte-identical partition
-            old_files = {e["file_path"]: e for e in (mf.read_shard(self.path, o) if o else [])}
-            new_files = {e["file_path"]: e for e in (mf.read_shard(self.path, n) if n else [])}
+        for part, old_entries, new_entries in mf.diff_partition_entries(
+            self.path, old_snap.manifest, new_snap.manifest
+        ):
+            old_files = {e["file_path"]: e for e in old_entries}
+            new_files = {e["file_path"]: e for e in new_entries}
             d = {"added_files": 0, "removed_files": 0, "row_delta": 0}
             for path, e in new_files.items():
                 if path not in old_files:

@@ -197,6 +197,10 @@ def build_training_corpus(
                 " build it with the digest-index maintenance job or pass"
                 " refresh_lake_index=True"
             )
+        # materialize the tokenize projection ONCE: the anti-join below
+        # references tokens on its left AND under cand→dup_ids, and an
+        # un-checkpointed projection would run twice in the same job
+        tokens = tokens.localCheckpoint(eager=False)
         cand = tokens.select("doc_id", token_sig(F.col("tokens")).alias("_sig"))
         existing = ix.to_df().select(F.col("sig").alias("_sig"))
         dup_ids = cand.join(existing, "_sig", "left_semi").select("doc_id")

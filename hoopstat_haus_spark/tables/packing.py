@@ -35,19 +35,27 @@ from pyspark.sql.window import Window
 from hoopstat_haus_spark.tables.token_table import _MULT
 
 _SHARD_PRIME = 982451653
+# (d*M) mod P == ((d mod P)*(M mod P)) mod P — reducing both factors first
+# keeps every shard assignment identical while bounding the int64 product
+# at (P-1)*(M mod P) ≈ 6.8e17, ANSI-safe for ANY doc number (the bare
+# d*M form overflowed past doc numbers ≈ 3.47e9).
+_MULT_RED = _MULT % _SHARD_PRIME
 
 
 def _doc_num(col: str = "doc_id") -> Column:
-    """The numeric suffix of 'doc-%0Nd' ids — int64, ANSI-safe for the
-    id domain both generators emit (< 1e10)."""
+    """The numeric suffix of 'doc-%0Nd' ids — int64."""
     return F.substring(F.col(col), 5, 12).cast("long")
 
 
 def shard_expr(n_shards: int) -> Column:
     """Deterministic shard in [0, n_shards): multiplicative hash of the
     doc number, reproducible in ANSI SQL (mirrored in
-    :func:`packed_sequences_sql`)."""
-    return F.pmod((_doc_num() * F.lit(_MULT)) % F.lit(_SHARD_PRIME), F.lit(n_shards))
+    :func:`packed_sequences_sql`); overflow-safe for any int64 doc
+    number via factor reduction mod :data:`_SHARD_PRIME`."""
+    return F.pmod(
+        (F.pmod(_doc_num(), F.lit(_SHARD_PRIME)) * F.lit(_MULT_RED)) % F.lit(_SHARD_PRIME),
+        F.lit(n_shards),
+    )
 
 
 def pack_sequences(
@@ -224,7 +232,7 @@ def packed_sequences_sql(seq_len: int, n_shards: int, tok_inner: str) -> str:
     return f"""(
       WITH d AS (
         SELECT doc_id, tokens, CAST(n_tok AS BIGINT) AS n_tok, source,
-               ((CAST(substring(doc_id, 5, 12) AS BIGINT) * {_MULT}) % {_SHARD_PRIME}) % {n_shards} AS shard
+               (((CAST(substring(doc_id, 5, 12) AS BIGINT) % {_SHARD_PRIME}) * {_MULT_RED}) % {_SHARD_PRIME}) % {n_shards} AS shard
         FROM {tok_inner}
       ), o AS (
         -- DuckDB windowed SUM(BIGINT) yields HUGEINT; pin BIGINT

@@ -38,10 +38,15 @@ TOKEN_TABLE_SCHEMA = T.StructType(
 
 # Multiplicative-hash constants (Knuth 2654435761; 40503 = Fibonacci-ish
 # 16-bit mixer). Vocab size 50257 = GPT-2 BPE vocab, a realistic token id
-# domain. All arithmetic stays in int64 → exact in Spark and DuckDB.
+# domain. All arithmetic stays in int64 → exact in Spark and DuckDB:
+# every (d * _MULT) site reduces BOTH factors mod the outer modulus first
+# ((d*M) mod V == ((d mod V)*(M mod V)) mod V), so products stay < 2^63
+# for ANY doc number — the bare d*M form would throw ANSI overflow past
+# doc numbers ≈ 3.47e9, inside a 100 TB corpus's id domain.
 _MULT = 2654435761
 _STEP = 40503
 _VOCAB = 50257
+_MULT_V = _MULT % _VOCAB
 
 # Skewed source distribution for the synthetic generator: `web` is the
 # hot partition (55%) per the north rule's skew requirement.
@@ -49,10 +54,13 @@ _SOURCES = [("web", 55), ("books", 25), ("code", 12), ("wiki", 6), ("forums", 2)
 
 
 def token_expr(doc_num: Column, n_tok: Column) -> Column:
-    """tokens[i] = (doc_num * MULT + i * STEP) % VOCAB, i in [0, n_tok)."""
+    """tokens[i] = (doc_num * MULT + i * STEP) % VOCAB, i in [0, n_tok)
+    — computed with doc_num pre-reduced mod VOCAB (identical value,
+    overflow-safe for any int64 doc number)."""
+    d_red = F.pmod(doc_num, F.lit(_VOCAB))
     return F.transform(
         F.sequence(F.lit(0), n_tok - F.lit(1)),
-        lambda i: ((doc_num * F.lit(_MULT) + i.cast("long") * F.lit(_STEP)) % F.lit(_VOCAB)).cast("int"),
+        lambda i: ((d_red * F.lit(_MULT_V) + i.cast("long") * F.lit(_STEP)) % F.lit(_VOCAB)).cast("int"),
     )
 
 
@@ -98,7 +106,7 @@ def documents_token_sql(inner: str = "documents") -> str:
     return f"""(
       SELECT
         printf('doc-%08d', doc_id) AS doc_id,
-        list_transform(range(0, n_tok), i -> CAST((doc_id * {_MULT} + i * {_STEP}) % {_VOCAB} AS INTEGER)) AS tokens,
+        list_transform(range(0, n_tok), i -> CAST(((doc_id % {_VOCAB}) * {_MULT_V} + i * {_STEP}) % {_VOCAB} AS INTEGER)) AS tokens,
         CAST(n_tok AS INTEGER) AS n_tok,
         source
       FROM (
@@ -117,8 +125,12 @@ def synthetic(spark: SparkSession, n_docs: int, partitions: int | None = None) -
     """
     rng = spark.range(0, n_docs, 1, partitions or spark.sparkContext.defaultParallelism)
     doc_num = F.col("id")
-    # pmod of a mixed hash → stable pseudo-uniform bucket in [0, 100)
-    bucket = F.pmod((doc_num * F.lit(_MULT)) % F.lit(982451653), F.lit(100))
+    # pmod of a mixed hash → stable pseudo-uniform bucket in [0, 100);
+    # factors reduced mod the prime so the product can't overflow int64
+    _p = 982451653
+    bucket = F.pmod(
+        (F.pmod(doc_num, F.lit(_p)) * F.lit(_MULT % _p)) % F.lit(_p), F.lit(100)
+    )
     src = None
     lo = 0
     for name, weight in _SOURCES:

@@ -12,8 +12,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hoopstat_haus_spark.operators.common import load, round_stable
-from hoopstat_haus_spark.tables.packing import _SHARD_PRIME
-from hoopstat_haus_spark.tables.token_table import _MULT
+from hoopstat_haus_spark.tables.packing import _MULT_RED, _SHARD_PRIME
 
 # Gopher-style filter thresholds (Rae et al. 2021 use 50 words / 3-10
 # chars / repetition caps on web text; scaled here to the synthetic
@@ -319,7 +318,7 @@ ORACLE = {
           WHERE CAST('0x' || substr(md5(t.doc_id || 'mix'), 1, 8) AS BIGINT) < b.threshold
           GROUP BY t.source
         ), pershard AS (
-          SELECT source, ((CAST(substring(doc_id, 5, 12) AS BIGINT) * {_MULT}) % {_SHARD_PRIME}) % {PACK_N_SHARDS} AS shard,
+          SELECT source, (((CAST(substring(doc_id, 5, 12) AS BIGINT) % {_SHARD_PRIME}) * {_MULT_RED}) % {_SHARD_PRIME}) % {PACK_N_SHARDS} AS shard,
                  SUM(n_tok) AS t
           FROM toks WHERE n_tok > 0 GROUP BY source, shard
         ), pack AS (

@@ -4,7 +4,10 @@ evaluation set (the GPT-3/PaLM-style n-gram overlap filter).
 A training-data pipeline must drop corpus documents that leak benchmark
 content, or downstream evals are meaningless. The standard test is
 word-n-gram overlap: a corpus doc is contaminated when it shares at
-least ``min_hits`` distinct k-gram shingles with any benchmark doc.
+least ``min_hits`` distinct k-gram shingles with the UNION of all
+benchmark content (the conservative GPT-3-style rule: grams from
+different eval docs accumulate, so the filter can only over-drop, never
+leak — a per-benchmark-doc threshold would be the laxer variant).
 
 Spark-first shape: the benchmark is small by construction (eval sets are
 10^3–10^6 grams), so its exploded distinct-gram set BROADCASTS; the
@@ -45,7 +48,9 @@ def contamination_report_from(
 ) -> DataFrame:
     """(doc_id, n_hits, n_bench_docs) for every doc in a (doc_id,
     shingles) frame sharing ≥ ``min_hits`` distinct shingles with the
-    benchmark set.
+    benchmark gram UNION; ``n_bench_docs`` counts benchmark docs
+    contributing at least one shared gram (a provenance hint, not a
+    per-doc threshold).
 
     Corpus shingles are per-doc distinct already, so a plain count of
     joined grams per doc IS the distinct-gram hit count against the

@@ -28,11 +28,14 @@ from pyspark.sql import functions as F
 
 # order matters: emails contain digit runs a phone pattern could chew on,
 # so redact emails first; IPs before phones so dotted quads don't match
-# as digit groups.
+# as digit groups. The phone class allows only HORIZONTAL whitespace
+# ([ \t], never \s) — a \s class would let one match span a newline and
+# merge two unrelated lines into a single <PHONE>, destroying the line
+# structure dedup_lines just established.
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    ("phone", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+    ("phone", r"\+?\d[\d \t().-]{7,}\d", "<PHONE>"),
 ]
 
 

@@ -17,6 +17,10 @@ DOCS = [
     ("d3", "dup line\nunique a\ndup line\nunique b\ndup line"),
     ("d4", "no pii here, just words"),
     ("d5", "bob@x.io wrote to carol@y.org from 192.168.1.1"),
+    # phone digits on one line, an unrelated digit run opening the next:
+    # the match must stop at the newline (a \s-class pattern would merge
+    # both lines into one <PHONE>)
+    ("d6", "call 555 123 4567\n5678 Oak Ave"),
 ]
 
 
@@ -46,6 +50,8 @@ def test_scrub_matches_python_oracle(spark):
     assert got["d3"].n_lines_removed == 2
     assert got["d4"].text == "no pii here, just words"
     assert got["d5"].pii.email == 2
+    # redaction never spans a line break: the second line survives intact
+    assert got["d6"].text == "call <PHONE>\n5678 Oak Ave"
 
 
 def test_scrub_is_noop_on_clean_corpus(spark):

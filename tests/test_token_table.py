@@ -51,3 +51,27 @@ def test_schema_matches_north_rule(spark):
     row = df.filter("doc_id = 'doc-0000000003'").collect()[0]
     assert row["n_tok"] == len(row["tokens"])
     assert all(0 <= t < 50257 for t in row["tokens"])
+
+
+def test_large_doc_numbers_never_overflow(spark):
+    # 100 TB-scale id domain: doc numbers past ~3.47e9 used to overflow
+    # int64 in the bare d*_MULT forms (ANSI mode throws). The reduced
+    # forms must match Python-bignum truth for ids across the boundary.
+    from hoopstat_haus_spark.tables.packing import _SHARD_PRIME, shard_expr
+    from hoopstat_haus_spark.tables.token_table import _MULT, _STEP, _VOCAB, tokenize_documents
+
+    nums = [3_474_169_299, 3_474_169_300, 4_000_000_000, 9_999_999_999]
+    docs = spark.createDataFrame(
+        [(n, 40, "web") for n in nums], "doc_id long, n_chars int, source string"
+    )
+    rows = {r.doc_id: r for r in tokenize_documents(docs).collect()}
+    sharded = dict(
+        spark.createDataFrame([(f"doc-{n:08d}",) for n in nums], "doc_id string")
+        .select("doc_id", shard_expr(64).alias("shard"))
+        .collect()
+    )
+    for n in nums:
+        did = f"doc-{n:08d}"
+        want_tokens = [(n * _MULT + i * _STEP) % _VOCAB for i in range(10)]
+        assert list(rows[did].tokens) == want_tokens, did
+        assert sharded[did] == ((n * _MULT) % _SHARD_PRIME) % 64, did
