@@ -104,13 +104,47 @@ def lsh_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
     :func:`lsh_signature_udf` (one Arrow-batched GEMM) instead —
     :func:`lsh_banded_groups` picks automatically."""
     planes = [F.array(*[F.lit(v) for v in _hyperplane(dim, p)]) for p in range(n_planes)]
+    # A vector whose length ≠ dim null-pads inside zip_with and folds the
+    # dot to NULL; a plain otherwise('0') would then collapse EVERY
+    # signature to all-zeros — one giant bucket the cap silently drops,
+    # i.e. an empty result instead of an error. Guard ONCE per row (a
+    # per-bit guard would double every dot fold) and raise loudly.
+    err = F.raise_error(
+        F.concat(
+            F.lit("lsh_signature: embedding length (got "),
+            F.coalesce(F.size(vec).cast("string"), F.lit("NULL")),
+            F.lit(f") != plane dim {dim}, or NULL component"),
+        )
+    )
+    ok = (F.size(vec) == F.lit(dim)) & ~F.exists(vec, lambda x: x.isNull())
+    guard = F.when(ok, F.lit("")).otherwise(err)
     bits = [F.when(dot(vec, pl) > 0, F.lit("1")).otherwise(F.lit("0")) for pl in planes]
-    return F.concat(*bits)
+    return F.concat(guard, *bits)
 
 
 # above this plane count the Arrow-GEMM signature wins over the JVM
 # expression (whose nested-HOF dots run interpreted in Spark 4)
 _SIG_UDF_MIN_PLANES = 64
+
+
+def _band_structs(sig: Column, n_bands: int, rows_per_band: int) -> Column:
+    """array<struct<band,bucket>> sliced from a MATERIALIZED signature
+    column. The slices are b separate substring references to ``sig``
+    (not a transform lambda embedding the signature expression): with
+    the signature aliased in its own projection, CollapseProject refuses
+    to inline a non-cheap expression referenced more than once, so the
+    r·b-plane signature computes ONCE per row — the lambda form
+    re-evaluated it per band (b× the dot-fold work; the same
+    re-inline trap CLAUDE.md records for MinHash)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.substring(sig, i * rows_per_band + 1, rows_per_band).alias("bucket"),
+            )
+            for i in range(n_bands)
+        ]
+    )
 
 
 def lsh_signature_udf(dim: int, n_planes: int):
@@ -155,20 +189,20 @@ def lsh_topk(
     rows_per_band = n_planes // n_bands
 
     def banded(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-        sig = lsh_signature(F.col(vec_col), dim, n_planes)
-        return df.select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                    lambda b: F.struct(
-                        b.alias("band"),
-                        F.substring(sig, b * rows_per_band + 1, rows_per_band).alias("bucket"),
-                    ),
-                )
-            ).alias("bb"),
-        ).select(id_col, vec_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        # signature projected once, sliced per band (see _band_structs)
+        return (
+            df.select(
+                F.col(id_col),
+                F.col(vec_col),
+                lsh_signature(F.col(vec_col), dim, n_planes).alias("_sig"),
+            )
+            .select(
+                id_col,
+                vec_col,
+                F.explode(_band_structs(F.col("_sig"), n_bands, rows_per_band)).alias("bb"),
+            )
+            .select(id_col, vec_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        )
 
     corpus_b = banded(emb, "vec_id", "embedding")
     q_b = banded(_queries(emb), "q_id", "q_vec")
@@ -355,29 +389,20 @@ def _banded_rows(
     if n_planes >= _SIG_UDF_MIN_PLANES:
         # wide adaptive plan: one Arrow-batched GEMM per batch — the
         # nested-HOF JVM expression runs interpreted at this width.
-        # Materialized as its own projection: a Python UDF cannot
-        # appear inside a higher-order-function lambda, and the
-        # ArrowEvalPython node this extracts to is a collapse barrier,
-        # so the signature is computed exactly once per row.
-        sigged = emb.select(
-            "vec_id", lsh_signature_udf(dim, n_planes)(F.col("embedding")).alias("_sig")
-        )
-        sig = F.col("_sig")
+        # (The ArrowEvalPython node is also a collapse barrier.)
+        sig_expr = lsh_signature_udf(dim, n_planes)(F.col("embedding"))
     else:
-        sigged = emb
-        sig = lsh_signature(F.col("embedding"), dim, n_planes)
-    banded = sigged.select(
-        "vec_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.substring(sig, b * rows_per_band + 1, rows_per_band).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        sig_expr = lsh_signature(F.col("embedding"), dim, n_planes)
+    # signature in its own projection, sliced via _band_structs: either
+    # way the r·b-plane signature is computed exactly once per row
+    banded = (
+        emb.select("vec_id", sig_expr.alias("_sig"))
+        .select(
+            "vec_id",
+            F.explode(_band_structs(F.col("_sig"), n_bands, rows_per_band)).alias("bb"),
+        )
+        .select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
     return banded
 
 
@@ -457,6 +482,7 @@ def lsh_candidate_pairs(
     n_planes: int = 32,
     n_bands: int = 8,
     max_bucket: int = 64,
+    dim: int = 64,
 ) -> DataFrame:
     """Hyperplane-LSH candidate pairs (id1 < id2), bucket-CAPPED.
 
@@ -469,8 +495,10 @@ def lsh_candidate_pairs(
     (1−0.60)^8 ≈ 7e-4. The bucket CAP needs bucket granularity to grow
     with corpus size — capping with too-coarse buckets silently drops
     everything; :func:`plan_lsh_bands` derives the right r (including
-    the non-uniform-bucket correction) and b automatically."""
-    return pairs_from_groups(lsh_banded_groups(emb, n_planes, n_bands), max_bucket)
+    the non-uniform-bucket correction) and b automatically. ``dim``
+    must match the corpus's embedding length — a mismatch raises inside
+    the signature expression (it can never silently empty the result)."""
+    return pairs_from_groups(lsh_banded_groups(emb, n_planes, n_bands, dim), max_bucket)
 
 
 def embedding_near_dups(
@@ -513,8 +541,22 @@ def embedding_near_dups(
     else:
         emb = emb.select("vec_id", "embedding")
     max_bucket = 64
-    r, b = plan_lsh_bands(emb.count(), threshold=threshold, max_bucket=max_bucket)
-    groups = lsh_banded_groups(emb, n_planes=r * b, n_bands=b).localCheckpoint(eager=False)
+    # one metadata job plans everything: corpus size for the banding
+    # math AND the embedding dimensionality (inferred, not assumed 64 —
+    # min/max guard ragged corpora, which would otherwise null-pad
+    # inside the signature)
+    n, dmin, dmax = emb.agg(
+        F.count(F.lit(1)), F.min(F.size("embedding")), F.max(F.size("embedding"))
+    ).first()
+    if dmin != dmax:
+        raise ValueError(
+            f"embedding_near_dups: ragged embedding lengths [{dmin}, {dmax}] — "
+            "LSH needs one dimensionality"
+        )
+    r, b = plan_lsh_bands(n, threshold=threshold, max_bucket=max_bucket)
+    groups = lsh_banded_groups(emb, n_planes=r * b, n_bands=b, dim=dmin).localCheckpoint(
+        eager=False
+    )
     stats = drop_stats_from_groups(groups, max_bucket).collect()[0]
     if (stats["drop_frac"] or 0.0) > 0.2:
         warnings.warn(

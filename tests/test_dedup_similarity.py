@@ -326,3 +326,45 @@ def test_shingled_docs_materializes_at_full_parallelism(spark):
     assert d.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     # and it carries exactly the (doc_id, shingles) schema the consumers join on
     assert [f.name for f in d.schema.fields] == ["doc_id", "shingles"]
+
+
+def test_lsh_signature_computed_once_per_row(spark):
+    # the banded frame's plan must contain each plane's dot fold exactly
+    # once — the transform-lambda form re-evaluated the whole signature
+    # per band (b× the fold work, the CLAUDE.md MinHash re-inline trap)
+    import contextlib
+    import io
+
+    from hoopstat_haus_spark.similarity.ann import _banded_rows
+
+    emb = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)), lambda i: (i * F.col("id") % 97).cast("float")
+        ).alias("embedding"),
+    )
+    banded = _banded_rows(emb, n_planes=50, n_bands=10)  # narrow JVM path
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        banded.explain("extended")
+    opt = buf.getvalue().split("== Optimized Logical Plan ==")[1].split("== Physical Plan ==")[0]
+    assert opt.count("zip_with") == 50  # one per plane, not per (plane, band)
+    assert banded.count() == 500
+
+
+def test_lsh_dim_mismatch_raises_not_empty(spark):
+    # a wrong plane dim null-pads every dot and used to collapse all
+    # signatures to all-zeros → one over-cap bucket → silently EMPTY
+    # candidate set; it must raise instead
+    import pytest
+
+    from hoopstat_haus_spark.similarity.ann import lsh_candidate_pairs
+
+    emb32 = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(32)), lambda i: (i * F.col("id") % 97).cast("float")
+        ).alias("embedding"),
+    )
+    with pytest.raises(Exception, match="lsh_signature"):
+        lsh_candidate_pairs(emb32, n_planes=16, n_bands=4, dim=64).count()
