@@ -75,9 +75,12 @@ def run_queries() -> dict[str, float]:
 
     spark.range(0, 2_000_000).agg(F.sum("id")).collect()
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1000).collect()
-    # degraded host → take two samples per query and keep the min (same
-    # calibration rationale as the scaling phase)
-    reps = 1 if _abs_cpu_probe() >= CALIBRATION_OK * _read_calibration() else 2
+    # ALWAYS two samples per query, keep the min: the host swings 2-4x
+    # minute-to-minute, so a single wall taken after one quiet probe at
+    # phase START can still land in a throttle window minutes later
+    # (CLAUDE.md: never trust a single wall-clock sample). The second
+    # pass costs ~1 min against a ~15 min bench.
+    reps = 2
     out: dict[str, float] = {}
     for name in HEADLINE:
         walls = []
@@ -124,7 +127,7 @@ def _memcpy(dur_ns: int, counter) -> None:
     counter.value = n
 
 
-def _host_ceiling(target, n: int, duration_s: float) -> float:
+def _host_ceiling(target, n: int, duration_s: float, factor: int = 4) -> float:
     import multiprocessing as mp
 
     def ops(workers: int) -> int:
@@ -139,11 +142,14 @@ def _host_ceiling(target, n: int, duration_s: float) -> float:
         return sum(c.value for c in counters)
 
     lo_ops = ops(n)
-    hi_ops = ops(4 * n)
-    return hi_ops / (4.0 * lo_ops) if lo_ops else 1.0
+    hi_ops = ops(factor * n)
+    # lo_ops == 0 means the lo measurement got NO cycles (total blackout)
+    # — that is the worst possible host state, never a neutral one; 1.0
+    # here would let pair selection commit to a stalled box
+    return hi_ops / (float(factor) * lo_ops) if lo_ops else 0.0
 
 
-def host_ceilings(n: int) -> tuple[float, float]:
+def host_ceilings(n: int, factor: int = 4) -> tuple[float, float]:
     """The HOST's own N→4N scaling on embarrassingly-parallel work, as
     two bounds measured minutes from the engine runs:
 
@@ -159,8 +165,8 @@ def host_ceilings(n: int) -> tuple[float, float]:
     cache of the N-executor cluster. Perfectly-scaling engine code
     cannot exceed these ceilings here; real clusters don't have them."""
     return (
-        _host_ceiling(_spin, n, 1.5),
-        _host_ceiling(_memcpy, n, 1.5),
+        _host_ceiling(_spin, n, 1.5, factor),
+        _host_ceiling(_memcpy, n, 1.5, factor),
     )
 
 
@@ -371,12 +377,6 @@ def run_maintenance_scaling() -> dict:
     else:
         n, pair_report = select_scaling_pair()
 
-    # lo starts first and owns template creation; hi reuses it
-    lo_p = _start_server(n, SCALING_DOCS)
-    _read_json(lo_p)  # READY (template built)
-    hi_p = _start_server(n * 4, SCALING_DOCS)
-    _read_json(hi_p)  # READY
-
     def stable(a: float, b: float, tol: float) -> bool:
         return abs(a - b) <= tol * max(a, b, 1e-9)
 
@@ -387,7 +387,19 @@ def run_maintenance_scaling() -> dict:
     calib = _read_calibration()
     probes: list[float] = []
     t0 = time.time()
+    servers: list = []
     try:
+        # servers registered for cleanup AS they start: if the hi server
+        # fails to reach READY, the already-live lo JVM must not leak
+        # (it would hold /dev/shm shuffle dirs and steal CPU from every
+        # later run on this overcommitted host).
+        # lo starts first and owns template creation; hi reuses it.
+        lo_p = _start_server(n, SCALING_DOCS)
+        servers.append(lo_p)
+        _read_json(lo_p)  # READY (template built)
+        hi_p = _start_server(n * 4, SCALING_DOCS)
+        servers.append(hi_p)
+        _read_json(hi_p)  # READY
         # warmup pair (JIT + worker spawn on both levels), not a round
         _request(lo_p)
         _request(hi_p)
@@ -458,7 +470,13 @@ def run_maintenance_scaling() -> dict:
             # a uniformly throttled host passes every RATIO gate; only
             # the absolute probe vs the host's known-best speed can veto
             # an early stop (see CALIBRATION comment above) — the run
-            # then uses its whole budget hunting for a quiet window
+            # then uses its whole budget hunting for a quiet window.
+            # RE-probe at the settle decision: the round-start probe is
+            # minutes stale by now, and a throttle that began mid-round
+            # inflates both levels proportionally (ratios stay stable)
+            # — the exact blind window that produced the 0.761 artifact.
+            probes.append(_abs_cpu_probe())
+            calib = max(calib, probes[-1])
             host_at_speed = probes[-1] >= CALIBRATION_OK * calib
             settled = (
                 len(stable_rounds) >= MIN_ACCEPTED
@@ -472,7 +490,7 @@ def run_maintenance_scaling() -> dict:
             if settled or time.time() - t0 > ROUND_BUDGET_S:
                 break
     finally:
-        for p in (lo_p, hi_p):
+        for p in servers:
             try:
                 p.stdin.close()
                 p.wait(timeout=120)
@@ -592,14 +610,25 @@ def compact_result(result: dict) -> tuple[dict, dict]:
     return line, result
 
 
+def _persist_partial(maintenance: dict, phase: str) -> None:
+    """Checkpoint the evidence sidecar after each phase: a crash in a
+    LATER phase must not destroy a completed 20-minute scaling run
+    (the walls/ceilings/ratios are the round's primary evidence)."""
+    with open(DETAIL_PATH, "w") as f:
+        json.dump({"partial": phase, "maintenance": maintenance}, f, indent=1)
+
+
 def main() -> None:
     t0 = time.time()
     # maintenance first: it is the headline metric and the most
     # CPU-sensitive — run it before the query phase heats the host
     maintenance = run_maintenance_scaling() if RUN_SCALING else {}
+    if RUN_SCALING:
+        _persist_partial(maintenance, "scaling")
     if RUN_THROUGHPUT:
         maintenance = dict(maintenance)
         maintenance["throughput"] = run_throughput()
+        _persist_partial(maintenance, "throughput")
     queries = run_queries()
     total = round(time.time() - t0, 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -61,12 +61,14 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for m in MODULES:
         overlap = set(out) & set(m.QUERIES)
-        assert not overlap, f"duplicate query names: {overlap}"
+        if overlap:  # real raise, not assert: must survive python -O
+            raise RuntimeError(f"duplicate query names: {overlap}")
         out.update(m.QUERIES)
-    assert len(out) <= _DRIVER_EVAL_CAP, (
-        f"{len(out)} registry entries exceed the driver's {_DRIVER_EVAL_CAP}-entry "
-        "evaluation window — merge gates into tagged unions instead of appending"
-    )
+    if len(out) > _DRIVER_EVAL_CAP:
+        raise RuntimeError(
+            f"{len(out)} registry entries exceed the driver's {_DRIVER_EVAL_CAP}-entry "
+            "evaluation window — merge gates into tagged unions instead of appending"
+        )
     return out
 
 

@@ -510,12 +510,26 @@ def _dispatch(args, spark) -> dict:
         if args.action == "audit":
             from pyspark.sql import functions as F
 
-            from hoopstat_haus_spark.lakehouse.quarantine import validate_batch
+            from hoopstat_haus_spark.lakehouse.quarantine import ERROR_NONE, classify
 
-            ok, bad = validate_batch(scan_staged(table, _need_ref()))
-            counts = {r["_error_class"]: r["n"] for r in bad.groupBy("_error_class").agg(
-                F.count(F.lit(1)).alias("n")).collect()} if (n_bad := bad.count()) else {}
-            return {"ref": args.ref, "ok_rows": ok.count(), "bad_rows": n_bad, "by_class": counts}
+            # ONE scan+classification pass: a per-class aggregate over the
+            # classified frame (ok rows under ERROR_NONE) — the previous
+            # ok.count/bad.count/groupBy trio re-read the staged files
+            # up to three times
+            per_class = {
+                r["_error_class"]: r["n"]
+                for r in classify(scan_staged(table, _need_ref()))
+                .groupBy("_error_class")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            ok_rows = per_class.pop(ERROR_NONE, 0)
+            return {
+                "ref": args.ref,
+                "ok_rows": ok_rows,
+                "bad_rows": int(sum(per_class.values())),
+                "by_class": per_class,
+            }
         if args.action == "publish":
             ref = _need_ref()
             if not args.skip_audit:

@@ -163,11 +163,14 @@ def main() -> None:
             )
             _wait_log(os.path.join(SCRATCH, f"worker{i}.log"), "Successfully registered")
 
+        # register each server for cleanup AS it starts: a hi-server
+        # startup failure must not orphan the already-READY lo driver
         lo_p = _start_server(args.lo, args.docs, master_url)
+        servers.append(lo_p)
         _read_json(lo_p)  # READY (owns template creation)
         hi_p = _start_server(args.hi, args.docs, master_url)
+        servers.append(hi_p)
         _read_json(hi_p)
-        servers = [lo_p, hi_p]
 
         # warmup (executor JIT + first-scan costs on both apps; the hi
         # level's first samples measured 2-4x its steady state — C2
@@ -179,21 +182,30 @@ def main() -> None:
         rounds = []
         gb_in = 0.0
         for _ in range(args.rounds):
-            cc1, mc1 = host_ceilings(args.lo)
+            # SYMMETRIC sampling — two samples per LEVEL per round, min
+            # of two on BOTH sides. The earlier hi-lo-hi scheme min'd
+            # only the hi level; E[min of 2] < E[single] under host
+            # noise, so every per-round ratio was biased upward (the
+            # same asymmetry bench.py round 5 identified and fixed).
+            # Ceilings measure the ACTUAL lo→hi factor, not a fixed 4.
+            cc1, mc1 = host_ceilings(args.lo, factor)
             hi_a = _request(hi_p)
-            lo = _request(lo_p)
+            lo_a = _request(lo_p)
             hi_b = _request(hi_p)
-            cc2, mc2 = host_ceilings(args.lo)
-            gb_in = lo["gb_in"]
+            lo_b = _request(lo_p)
+            cc2, mc2 = host_ceilings(args.lo, factor)
+            gb_in = lo_a["gb_in"]
+            lo_wall = min(lo_a["wall"], lo_b["wall"])
             hi_wall = min(hi_a["wall"], hi_b["wall"])
             rounds.append(
                 {
-                    "lo_s": lo["wall"],
+                    "lo_s": lo_wall,
                     "hi_s": hi_wall,
+                    "lo_s_samples": [lo_a["wall"], lo_b["wall"]],
                     "hi_s_samples": [hi_a["wall"], hi_b["wall"]],
                     "cpu_ceiling": [round(cc1, 3), round(cc2, 3)],
                     "mem_ceiling": [round(mc1, 3), round(mc2, 3)],
-                    "raw_efficiency": round(lo["wall"] / (factor * hi_wall), 3),
+                    "raw_efficiency": round(lo_wall / (factor * hi_wall), 3),
                 }
             )
         best_lo = min(r["lo_s"] for r in rounds)
