@@ -109,6 +109,23 @@ def collect_garbage(
         except OSError:
             return True  # vanished mid-walk → someone is using it
 
+    def young_tree(path: str) -> bool:
+        """min-age gate over a SUBTREE's newest mtime: a live job writing
+        into .staging/<job>/out/ only bumps nested dirs — the top dir's
+        mtime freezes once its direct entries exist, so gating on it
+        alone would sweep a long-running job's in-flight output."""
+        if young(path):
+            return True
+        try:
+            for dirpath, _dirs, files in os.walk(path):
+                if young(dirpath) or any(
+                    young(os.path.join(dirpath, f)) for f in files
+                ):
+                    return True
+        except OSError:
+            return True
+        return False
+
     removed_data, removed_manifests, removed_staging = [], [], []
     data_root = os.path.join(table_path, "data")
     for dirpath, _dirs, files in os.walk(data_root):
@@ -137,11 +154,31 @@ def collect_garbage(
     if os.path.isdir(staging):
         for job_id in os.listdir(staging):
             job_staging = os.path.join(staging, job_id)
-            if young(job_staging) or os.path.isdir(os.path.join(ckpt_root, job_id)):
+            if young_tree(job_staging) or os.path.isdir(os.path.join(ckpt_root, job_id)):
                 continue
             removed_staging.append(f".staging/{job_id}")
             if not dry_run:
                 shutil.rmtree(job_staging, ignore_errors=True)
+
+    # superseded quarantine sidecars: replay swaps the pointer to a
+    # fresh dir and leaves the old one in place (an rmtree there could
+    # delete a concurrent appender's in-flight files — the appender's
+    # post-write pointer recheck handles recovery). Old dirs become
+    # plain orphans; collect them here once past the min age.
+    ptr = os.path.join(table_path, "_quarantine_ptr")
+    live_sidecar = "_quarantine"
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            live_sidecar = f.read().strip()
+    for name in os.listdir(table_path):
+        if not name.startswith("_quarantine") or name == live_sidecar:
+            continue
+        p = os.path.join(table_path, name)
+        if not os.path.isdir(p) or young_tree(p):
+            continue
+        removed_staging.append(name)
+        if not dry_run:
+            shutil.rmtree(p, ignore_errors=True)
 
     return {
         "reachable_files": len(reachable_data),

@@ -21,7 +21,6 @@ is set-based instead of per-object:
 from __future__ import annotations
 
 import os
-import shutil
 import uuid
 from collections.abc import Callable
 
@@ -43,7 +42,11 @@ ERROR_NULL_KEY = "null_key"
 def classify(df: DataFrame) -> DataFrame:
     """Attach ``_error_class`` (first failing rule wins, reference-style
     priority: structural > content)."""
-    bad_vocab = F.exists("tokens", lambda t: (t < 0) | (t >= VOCAB_SIZE))
+    # t.isNull() first: exists() under three-valued logic returns NULL
+    # (not true) when no element matches but one is NULL, so a bare
+    # range check would classify [1, NULL, 2] as ok — and token_sig's
+    # join silently skips NULLs, breaking token-array equality parity
+    bad_vocab = F.exists("tokens", lambda t: t.isNull() | (t < 0) | (t >= VOCAB_SIZE))
     return df.withColumn(
         "_error_class",
         F.when(F.col("doc_id").isNull() | F.col("source").isNull(), ERROR_NULL_KEY)
@@ -81,7 +84,22 @@ def quarantine_dir(table: TokenLakeTable) -> str:
 
 
 def quarantine_batch(table: TokenLakeTable, rejected: DataFrame) -> None:
-    rejected.write.mode("append").partitionBy("_error_class").parquet(quarantine_dir(table))
+    """Append rejects to the live sidecar, RACE-SAFE against a concurrent
+    :func:`replay`: the append resolves the pointer, writes, then
+    re-reads the pointer — if a replay swapped the sidecar mid-write,
+    the rows just landed in a dir that will never be read again, so the
+    append retries into the new live dir. Rows stranded in the old dir
+    are orphans (replay defers its destruction to GC's min-age sweep,
+    so a mid-write dir is never rmtree'd under the writer). The only
+    loss window left is a crash between write and recheck — the same
+    exposure as crashing mid-write, which the streaming sidecar leg
+    already replays idempotently."""
+    for _ in range(5):
+        target = quarantine_dir(table)
+        rejected.write.mode("append").partitionBy("_error_class").parquet(target)
+        if quarantine_dir(table) == target:
+            return
+    raise RuntimeError("quarantine_batch: sidecar pointer kept moving (5 replays mid-append?)")
 
 
 _QUARANTINE_DDL = "doc_id string, tokens array<int>, n_tok int, source string, _error_class string"
@@ -184,7 +202,13 @@ def replay(
     with open(tmp, "w") as f:
         f.write(new_name)
     os.replace(tmp, ptr)  # atomic: readers see old or new, never neither
-    shutil.rmtree(old_live, ignore_errors=True)
+    # the old dir is NOT destroyed here: a concurrent quarantine_batch
+    # that resolved the pointer pre-swap may still be writing into it
+    # (its post-write recheck will retry into the new dir) — an
+    # immediate rmtree would delete those in-flight files under the
+    # writer. GC's min-age sweep collects non-live sidecar dirs instead
+    # (collect_garbage removes _quarantine-* dirs the pointer no longer
+    # names once they age past min_age_s).
     return {"replayed": total, "resolved": resolved, "still_failed": still_failed}
 
 

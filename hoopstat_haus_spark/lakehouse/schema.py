@@ -113,10 +113,16 @@ def write_schema(table_path: str, schema: TableSchema) -> str:
     """Exclusively create the schema record (same create-if-absent mutex
     as snapshot commits — two concurrent evolutions cannot both win).
     Returns the created path so a failed commit can roll it back."""
+    import uuid
+
     d = _schema_dir(table_path)
     os.makedirs(d, exist_ok=True)
     path = os.path.join(d, f"schema-v{schema.version}.json")
-    tmp = path + ".tmp"
+    # tmp name must be WRITER-UNIQUE (like wap/quarantine): a fixed
+    # .tmp path would let a concurrent evolution overwrite this
+    # writer's staging mid-flight, publishing the loser's (possibly
+    # torn) bytes through the winner's os.link
+    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
     with open(tmp, "w") as f:
         json.dump({"version": schema.version, "fields": schema.fields}, f, indent=1)
     try:

@@ -3,7 +3,7 @@
     python -m hoopstat_haus_spark.serving publish --sf-dir ... --out gold/
     python -m hoopstat_haus_spark.serving serve --root gold/ --port 8080
     python -m hoopstat_haus_spark.serving get-index --base gold/
-    python -m hoopstat_haus_spark.serving get-artifact agg_pricing_summary/latest/0000 --base http://...
+    python -m hoopstat_haus_spark.serving get-artifact <resource_uri from get-index> --base http://...
     python -m hoopstat_haus_spark.serving mcp --base gold/      # JSON-RPC over stdio
 
 ``--base`` accepts a filesystem root or an http(s) URL (env

@@ -29,7 +29,7 @@ TOOLS = [
     {
         "name": "get_artifact",
         "description": "Fetch one gold artifact by resource URI, e.g. "
-        "'agg_pricing_summary/latest/0000' (.json appended automatically).",
+        "'agg_pricing_summary/p.../0000' as listed by get_index (.json appended automatically).",
         "inputSchema": {
             "type": "object",
             "properties": {"resource_uri": {"type": "string"}},

@@ -80,7 +80,9 @@ def serve_artifacts(root: str, port: int = 0) -> tuple[ThreadingHTTPServer, str]
         "ArtifactHandler",
         (SimpleHTTPRequestHandler,),
         {
-            "directory": root,
+            # directory is passed per-instance by the factory below —
+            # a class attribute here would be dead, divergence-prone
+            # config (SimpleHTTPRequestHandler reads the __init__ arg)
             # quiet: a per-request stderr line per artifact fetch would
             # drown real logs in agent loops
             "log_message": lambda self, fmt, *args: None,

@@ -7,16 +7,23 @@ documents capped at 100 KB) and the ADR-024 catalog
 
 Design:
 
-- Each published query becomes ``<root>/<query>/latest/<page>.json``,
+- Each published query becomes ``<root>/<query>/<pub_id>/<page>.json``,
   newline-JSON records in the query's own deterministic ORDER BY, paged
   so no artifact exceeds the byte cap (the reference's Lambda-memory
   and client-fetch bound; a serving CDN caches small immutable objects
-  well).
+  well). The page directory is NEW per publish (pub_id = publish
+  timestamp): pages are write-once, so a republish never mutates a URI
+  a reader (or CDN) already holds — readers resolve page URIs only
+  through the index, exactly like data files resolve only through the
+  snapshot manifest.
 - ``index/latest.json`` lists every artifact {resource_uri, rows,
   bytes} plus per-query row totals and the publish timestamp. It is
   written ATOMICALLY LAST via os.replace — a reader always sees either
   the complete new catalog or the previous one, the same
-  commit-ordering rule as the lakehouse snapshot pointer.
+  commit-ordering rule as the lakehouse snapshot pointer; and since
+  pages are immutable, the OLD catalog's pages stay intact for
+  in-flight readers (the previous publish is retained; older ones are
+  pruned after the swap).
 - Results STREAM through the driver (``toJSON().toLocalIterator()`` →
   one page in memory at a time): gold artifacts are pre-aggregated
   rollups/leaderboards (KB-scale) so this rarely matters, but a
@@ -45,11 +52,29 @@ DEFAULT_GOLD_QUERIES = [
 ]
 
 
+def _new_pub_id(out_root: str, name: str) -> str:
+    """Fresh write-once page-directory id for one publish of ``name``."""
+    base = f"p{int(time.time() * 1000):013d}"
+    pub_id = base
+    i = 0
+    while os.path.exists(os.path.join(out_root, name, pub_id)):
+        i += 1
+        pub_id = f"{base}-{i}"
+    return pub_id
+
+
 def _write_pages(
     line_iter, out_root: str, name: str, cap: int, extra: dict | None = None
 ) -> tuple[list[dict], int]:
-    """Stream newline-JSON lines into ≤``cap``-byte page files under
-    ``<out_root>/<name>/latest/``; returns (page records, total rows).
+    """Stream newline-JSON lines into ≤``cap``-byte page files under a
+    FRESH ``<out_root>/<name>/<pub_id>/`` directory; returns
+    (page records, total rows).
+
+    Pages are write-once: a republish never overwrites a URI an
+    in-flight reader (or CDN) resolved from the previous index, and a
+    smaller republish can't leave higher-numbered stale pages
+    fetchable under the new catalog — the index is the only resolution
+    path, like data files behind the snapshot manifest.
 
     Only the CURRENT page is ever held in memory, so driver memory is
     bounded by the page cap no matter how large the published result is
@@ -57,7 +82,8 @@ def _write_pages(
     one partition at a time — a full-table publish can't OOM the
     driver the way a ``collect()`` would). Partition order follows
     partition index, so a query's global ORDER BY survives paging."""
-    os.makedirs(os.path.join(out_root, name, "latest"), exist_ok=True)
+    pub_id = _new_pub_id(out_root, name)
+    os.makedirs(os.path.join(out_root, name, pub_id), exist_ok=True)
     records: list[dict] = []
     page: list[str] = []
     size = 0
@@ -65,7 +91,7 @@ def _write_pages(
 
     def flush() -> None:
         nonlocal page, size
-        rel = f"{name}/latest/{len(records):04d}.json"
+        rel = f"{name}/{pub_id}/{len(records):04d}.json"
         path = os.path.join(out_root, rel)
         body = "\n".join(page) + ("\n" if page else "")
         with open(path + ".tmp", "w") as f:
@@ -83,6 +109,15 @@ def _write_pages(
 
     for line in line_iter:
         n = len(line.encode()) + 1
+        if n > cap:
+            # one row alone would breach the byte cap the serving layer
+            # promises (the reference's Lambda-memory / client-fetch
+            # bound) — fail loudly instead of shipping an oversize page
+            raise ValueError(
+                f"publish {name!r}: a single row serializes to {n} bytes, "
+                f"over the {cap}-byte artifact cap — raise max_artifact_bytes "
+                "or slim the rollup"
+            )
         if page and size + n > cap:
             flush()
         page.append(line)
@@ -90,6 +125,21 @@ def _write_pages(
         total += 1
     flush()  # an empty result still publishes one (empty) page
     return records, total
+
+
+def _prune_old_publishes(out_root: str, names: list[str], keep: int = 2) -> None:
+    """After the index swap, drop page dirs older than the newest
+    ``keep`` per query (current + previous: in-flight readers of the
+    OLD catalog keep resolving while the new one takes over)."""
+    for name in names:
+        d = os.path.join(out_root, name)
+        if not os.path.isdir(d):
+            continue
+        pubs = sorted(p for p in os.listdir(d) if p.startswith("p"))
+        for stale in pubs[:-keep] if keep else pubs:
+            import shutil
+
+            shutil.rmtree(os.path.join(d, stale), ignore_errors=True)
 
 
 def _write_index(out_root: str, index: dict) -> None:
@@ -142,6 +192,7 @@ def publish_gold_artifacts(
         "artifacts": artifacts,
     }
     _write_index(out_root, index)
+    _prune_old_publishes(out_root, names)
     return index
 
 
@@ -201,4 +252,5 @@ def publish_table_artifacts(
         "artifacts": artifacts,
     }
     _write_index(out_root, index)
+    _prune_old_publishes(out_root, list(rollups))
     return index

@@ -104,7 +104,26 @@ def query_ivf_index(
     """Top-k neighbors per query from a persisted index. ``queries``
     needs (q_id, q_vec); returns (q_id, vec_id, cos, rnk) like
     ``ivf_topk``. Raises if the index has no commit marker."""
-    read_index_meta(index_dir)  # marker check: refuse half-written indexes
+    meta = read_index_meta(index_dir)  # marker check: refuse half-written
+    dim = meta.get("dim")
+    if dim is not None:
+        # a query vector of the wrong length null-pads inside the dot
+        # fold → every cdist/cos is NULL → k rows of silent garbage per
+        # query; guard once per query row and raise (same contract as
+        # lsh_signature's dim guard)
+        ok = (F.size("q_vec") == F.lit(dim)) & ~F.exists(
+            "q_vec", lambda x: x.isNull()
+        )
+        err = F.raise_error(
+            F.concat(
+                F.lit("query_ivf_index: q_vec length (got "),
+                F.coalesce(F.size("q_vec").cast("string"), F.lit("NULL")),
+                F.lit(f") != index dim {dim}, or NULL component"),
+            )
+        )
+        queries = queries.withColumn(
+            "q_vec", F.when(ok, F.col("q_vec")).otherwise(err)
+        )
     cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
     qc = queries.crossJoin(F.broadcast(cent)).select(
         "q_id",

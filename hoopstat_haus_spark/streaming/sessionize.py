@@ -72,9 +72,15 @@ def stream_session_counts(
             last_ts, n_sessions, n_events = state.get
         else:
             last_ts, n_sessions, n_events = None, 0, 0
-        for b in batches:
-            b = b.sort_values(["ts", "event_id"])
-            for ts in b["ts"]:
+        # the group's micro-batch rows arrive as an ITERATOR of pandas
+        # chunks (Arrow batch size); sorting each chunk independently
+        # would let a later chunk's earlier timestamps regress last_ts
+        # and merge distinct sessions — concat first, sort ONCE
+        chunks = [c for c in batches if len(c)]
+        all_b = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        if len(all_b):
+            all_b = all_b.sort_values(["ts", "event_id"])
+            for ts in all_b["ts"]:
                 t = ts.timestamp()
                 if last_ts is None or t - last_ts > gap_s:
                     n_sessions += 1

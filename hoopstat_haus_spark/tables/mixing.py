@@ -94,12 +94,19 @@ def mixed_corpus_from_table(table, budgets: dict[str, int], salt: str = "mix") -
 
 
 def mixed_corpus(
-    tokens_df: DataFrame, budgets: dict[str, int], salt: str = "mix"
+    tokens_df: DataFrame,
+    budgets: dict[str, int],
+    salt: str = "mix",
+    thresholds: dict[str, int] | None = None,
 ) -> DataFrame:
     """The sampled corpus: same schema as the input, each source thinned
     to ≈ its token budget (exactly kept: docs whose content hash clears
-    the source's threshold)."""
-    thresholds = plan_mixture(tokens_df, budgets)
+    the source's threshold). Pass precomputed ``thresholds`` (from
+    :func:`_thresholds` over an already-collected totals dict) to skip
+    the planning aggregate — callers that just ran
+    :func:`source_token_totals` themselves shouldn't pay it twice."""
+    if thresholds is None:
+        thresholds = plan_mixture(tokens_df, budgets)
     gate = F.lit(0).cast("long")
     for source, thr in sorted(thresholds.items()):
         gate = F.when(F.col("source") == source, F.lit(thr)).otherwise(gate)

@@ -182,7 +182,11 @@ def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Columns are (facet, source, n_docs, total, metric); each leg maps
     its natural names onto that shape (documented here rather than
     widening the union with per-leg nulls)."""
-    from hoopstat_haus_spark.tables.mixing import mixed_corpus, source_token_totals
+    from hoopstat_haus_spark.tables.mixing import (
+        _thresholds,
+        mixed_corpus,
+        source_token_totals,
+    )
     from hoopstat_haus_spark.tables.packing import packing_report
     from hoopstat_haus_spark.tables.token_table import tokenize_documents
 
@@ -207,8 +211,11 @@ def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget_col = F.lit(0).cast("long")
     for s, b in sorted(budgets.items()):
         budget_col = F.when(F.col("source") == s, F.lit(b)).otherwise(budget_col)
+    # thresholds from the totals ALREADY collected above — passing them
+    # through skips plan_mixture's second identical tokenize+aggregate
+    # job inside this driver-gate hot path
     mix = (
-        source_token_totals(mixed_corpus(toks, budgets))
+        source_token_totals(mixed_corpus(toks, budgets, thresholds=_thresholds(totals, budgets)))
         .select(
             F.lit("mix").alias("facet"),
             "source",

@@ -100,11 +100,13 @@ def test_replay_dedupes_same_doc_across_batches(spark, tmp_table_dir):
 
 
 def test_sidecar_pointer_survives_replay(spark, tmp_table_dir):
-    """After replay the live sidecar resolves through the pointer file;
-    reads keep working and the pre-swap dir is gone (single atomic
-    os.replace swap — no window with no sidecar at all)."""
+    """After replay the live sidecar resolves through the pointer file
+    (single atomic os.replace swap — no window with no sidecar at all).
+    The pre-swap dir is NOT destroyed inline — a concurrent appender may
+    still be writing into it — it ages out through GC's min-age sweep."""
     import os
 
+    from hoopstat_haus_spark.lakehouse.gc import collect_garbage
     from hoopstat_haus_spark.lakehouse.quarantine import quarantine_dir
 
     t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 100), repartition_n=2)
@@ -116,6 +118,15 @@ def test_sidecar_pointer_survives_replay(spark, tmp_table_dir):
     after_dir = quarantine_dir(t)
     assert after_dir != before_dir
     assert os.path.exists(os.path.join(t.path, "_quarantine_ptr"))
+    # deferred destruction: the old dir survives the swap (a mid-write
+    # appender must never have it rmtree'd underneath)...
+    assert os.path.isdir(before_dir)
+    # ...is invisible to reads (they resolve through the pointer)...
+    assert read_quarantine(t).count() > 0
+    # ...and GC collects it once past the min age (0 here), while the
+    # LIVE sidecar always survives
+    swept = collect_garbage(t.path, min_age_s=0)
+    assert os.path.basename(before_dir) in swept["removed_staging"]
     assert not os.path.isdir(before_dir)
-    # still-failed rows remain readable through the pointer
+    assert os.path.isdir(after_dir)
     assert read_quarantine(t).count() > 0

@@ -37,7 +37,12 @@ def test_publish_index_and_artifact_values(spark, gold_root):
     # served rows must equal the live query result, row for row
     from hoopstat_haus_spark import registry
 
-    body = client.fetch_artifact("agg_pricing_summary/latest/0000")
+    uri = next(
+        a["resource_uri"]
+        for a in index["artifacts"]
+        if a["resource_uri"].startswith("agg_pricing_summary/")
+    )
+    body = client.fetch_artifact(uri)
     served = [json.loads(x) for x in body.strip().splitlines()]
     live = [
         json.loads(x)
@@ -56,7 +61,7 @@ def test_paging_respects_byte_cap(spark, tmp_path):
     rows = []
     for a in index["artifacts"]:
         if a["resource_uri"].startswith("agg_pricing_summary/"):
-            assert a["bytes"] <= 256 or a["rows"] == 1  # one giant row may exceed
+            assert a["bytes"] <= 256  # the cap is HARD now (oversize rows raise)
             rows.extend(json.loads(x) for x in client.fetch_artifact(a["resource_uri"]).strip().splitlines())
     from hoopstat_haus_spark import registry
 
@@ -83,7 +88,12 @@ def test_http_serving_and_catalog_latency(gold_root):
         client = ArtifactClient(url)
         index = json.loads(client.fetch_index())
         assert set(index["datasets"]) == set(GOLD)
-        body = client.fetch_artifact("join_revenue_by_nation/latest/0000")
+        uri = next(
+            a["resource_uri"]
+            for a in index["artifacts"]
+            if a["resource_uri"].startswith("join_revenue_by_nation/")
+        )
+        body = client.fetch_artifact(uri)
         assert body.strip()
         with pytest.raises(ArtifactError) as ei:
             client.fetch_artifact("missing/latest/0000")
@@ -170,9 +180,43 @@ def test_table_publish_pins_one_snapshot_across_maintenance(spark, tmp_path):
 
     # both artifacts show the SAME (pre-merge) state: identical rollups
     def served(name):
-        with open(os.path.join(root, name, "latest", "0000.json")) as f:
+        uri = next(
+            a["resource_uri"] for a in index["artifacts"] if a["resource_uri"].startswith(f"{name}/")
+        )
+        with open(os.path.join(root, uri + ".json")) as f:
             return [json.loads(x) for x in f.read().strip().splitlines()]
 
     a, b = served("a_first"), served("b_second")
     assert a == b
     assert sum(r["n"] for r in a) == 3000  # no race-* docs leaked in
+
+
+def test_republish_is_write_once_and_pruned(spark, tmp_path):
+    """A republish must never mutate a page URI the previous index
+    named (in-flight readers / CDNs hold it), must not leave stale
+    higher-numbered pages under the new catalog, and prunes publishes
+    older than current+previous."""
+    import os
+
+    root = str(tmp_path / "gold")
+    idx1 = publish_gold_artifacts(spark, SF, root, ["agg_pricing_summary"])
+    uri1 = idx1["artifacts"][0]["resource_uri"]
+    body1 = ArtifactClient(root).fetch_artifact(uri1)
+    time.sleep(0.002)  # distinct pub_id ms
+    idx2 = publish_gold_artifacts(spark, SF, root, ["agg_pricing_summary"])
+    uri2 = idx2["artifacts"][0]["resource_uri"]
+    assert uri1 != uri2
+    # the OLD catalog's page is intact byte-for-byte after the republish
+    assert ArtifactClient(root).fetch_artifact(uri1) == body1
+    time.sleep(0.002)
+    idx3 = publish_gold_artifacts(spark, SF, root, ["agg_pricing_summary"])
+    pubs = sorted(os.listdir(os.path.join(root, "agg_pricing_summary")))
+    assert len(pubs) == 2  # keep current + previous, prune older
+    assert ArtifactClient(root).fetch_artifact(idx3["artifacts"][0]["resource_uri"])
+
+
+def test_publish_rejects_oversize_row(spark, tmp_path):
+    with pytest.raises(ValueError, match="artifact cap"):
+        publish_gold_artifacts(
+            spark, SF, str(tmp_path / "gold"), ["agg_pricing_summary"], max_artifact_bytes=8
+        )

@@ -117,6 +117,43 @@ def test_gc_spares_checkpointed_outputs_and_live_staging(spark, tmp_table_dir):
     assert os.path.isdir(staging_dir)
 
 
+def test_gc_staging_age_gates_on_subtree_mtime(spark, tmp_table_dir):
+    """A long-running uncheckpointed job keeps WRITING into
+    .staging/<job>/out/ — POSIX freezes the TOP dir's mtime once its
+    direct entries exist, so the sweep must gate on the newest mtime in
+    the SUBTREE or it deletes a live job's in-flight output."""
+    import os
+    import time as _time
+
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 200), repartition_n=2)
+    job = os.path.join(t.path, ".staging", "longjob")
+    out = os.path.join(job, "out")
+    os.makedirs(out)
+    with open(os.path.join(out, "part-0.parquet"), "wb") as f:
+        f.write(b"in-flight")
+    # age the TOP dir (and everything but the freshest file) past min_age
+    old = _time.time() - 3600
+    os.utime(job, (old, old))
+    os.utime(out, (old, old))
+    os.utime(os.path.join(out, "part-0.parquet"), (old, old))
+    # ... then the job writes one more file just now (live activity)
+    with open(os.path.join(out, "part-1.parquet"), "wb") as f:
+        f.write(b"fresh")
+
+    report = t.collect_garbage(min_age_s=600)
+    assert ".staging/longjob" not in report.get("removed_staging", [])
+    assert os.path.isdir(out)
+
+    # once the whole subtree is old, the sweep takes it (writing part-1
+    # refreshed out/'s own mtime — age every node again)
+    os.utime(os.path.join(out, "part-1.parquet"), (old, old))
+    os.utime(out, (old, old))
+    os.utime(job, (old, old))
+    report = t.collect_garbage(min_age_s=600)
+    assert ".staging/longjob" in report["removed_staging"]
+    assert not os.path.isdir(job)
+
+
 def test_merge_rejects_duplicate_update_keys(spark, tmp_table_dir):
     """Iceberg MERGE semantics: duplicate (doc_id, source) in the update
     set must fail loudly, not fan out matched rows."""
