@@ -133,8 +133,13 @@ def test_publish_from_tag(spark, tmp_table_dir, tmp_path):
     root = str(tmp_path / "gold")
     index = publish_table_artifacts(t, root, {"by_source": by_source}, tag="train-v1")
     assert index["snapshot_id"] == tagged_id and index["tag"] == "train-v1"
-    with open(os.path.join(root, "by_source", "latest", "0000.json")) as f:
-        rows = [json.loads(x) for x in f.read().strip().splitlines()]
+    # pages resolve ONLY through the index (write-once pub dirs)
+    uris = [a["resource_uri"] for a in index["artifacts"]]
+    assert uris and all(u.startswith("by_source/") for u in uris)
+    rows = []
+    for u in uris:
+        with open(os.path.join(root, u + ".json")) as f:
+            rows += [json.loads(x) for x in f.read().strip().splitlines()]
     assert sum(r["n"] for r in rows) == 800  # tagged state, not head
 
     with pytest.raises(ValueError):
