@@ -303,10 +303,13 @@ def _merge_apply(
         rel,
         "merge",
         {
+            # full table aggregates, same as append/compact/DML commits —
+            # history() and other metadata readers must not see files=0
+            # on merge snapshots
+            **mf.summary_from_records(new_records),
             "job_id": job_id,
             "rewritten_files": len(cand_paths),
             "new_files": len(fresh),
-            "rows": mf.summary_from_records(new_records)["rows"],
             "schema_version": schema.version,
             **(summary_extra or {}),
         },

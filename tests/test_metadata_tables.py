@@ -70,3 +70,20 @@ def test_metadata_tables(spark, tmp_table_dir):
     t2 = TokenLakeTable(spark, tmp_table_dir + "-none")
     assert t2.history().count() == 0 and t2.files().count() == 0
     assert t2.partitions().count() == 0
+
+
+def test_history_merge_snapshot_carries_full_aggregates(spark, tmp_table_dir):
+    """Merge commits stamp the same files/rows/tokens/bytes aggregates as
+    append/compact — history() must not report files=0 on them."""
+    from hoopstat_haus_spark.lakehouse.merge import merge_into
+
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 1200), repartition_n=2)
+    feed = synthetic(spark, 1300).filter("cast(substr(doc_id, 5) as long) >= 1150")
+    merge_into(t, feed)
+
+    row = [r for r in t.history().collect() if r["operation"] == "merge"][-1]
+    assert row["rows"] == 1300 and row["files"] > 0
+    summ = t.log.current().summary
+    assert summ["files"] == len(t.manifest_entries())
+    assert summ["tokens"] == sum(e["token_count"] for e in t.manifest_entries())
+    assert summ["bytes"] > 0 and summ["partitions"] > 0
