@@ -554,6 +554,13 @@ def run_maintenance_scaling() -> dict:
         # (r4 shipped 1.016 exactly this way). The flag stops a reader
         # from quoting the capped 1.0 as a clean measurement.
         "superlinear_suspect": med > 1.0,
+        # fewer accepted rounds than the settle rule demands means the
+        # budget ran out hunting a quiet window — the median then rides
+        # on 1-2 rounds and is weak evidence by construction (runs 5 and
+        # 13 published 0.98 and 0.68 this way on IDENTICAL code; the
+        # multi-accepted-round runs read 0.80-0.89). The flag keeps a
+        # reader from quoting a thin-sample gate as a measurement.
+        "scaling_weak_evidence": len([r for r in rounds if r["host_stable"]]) < MIN_ACCEPTED,
     }
 
 
@@ -578,6 +585,7 @@ _LINE_KEYS = (
     "raw_efficiency_capability",
     "scaling_efficiency",
     "superlinear_suspect",
+    "scaling_weak_evidence",
 )
 _THROUGHPUT_LINE_KEYS = (
     "cpus",

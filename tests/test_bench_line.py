@@ -60,6 +60,7 @@ def _maximal_result() -> dict:
             "raw_efficiency_capability": 0.912,
             "scaling_efficiency": 1.0,
             "superlinear_suspect": True,
+            "scaling_weak_evidence": True,
             "throughput": {
                 "cpus": 16,
                 "docs": 3200000,
@@ -85,6 +86,8 @@ def test_line_fits_driver_tail_window():
     assert line["maintenance"]["scaling_efficiency"] == 1.0
     # a capped gate must carry its superlinear-throttle annotation
     assert line["maintenance"]["superlinear_suspect"] is True
+    # a thin-sample gate must carry its weak-evidence annotation
+    assert line["maintenance"]["scaling_weak_evidence"] is True
     assert line["maintenance"]["host_degraded"] is False
     assert line["maintenance"]["throughput"]["gb_per_hour"] == 388.79
     assert len(line["queries"]) == len(bench.HEADLINE)
