@@ -103,3 +103,21 @@ def test_line_without_maintenance_phase():
     line, _ = bench.compact_result(r)
     assert line["maintenance"] == {}
     assert len(json.dumps(line)) < 1800
+
+
+def test_pair_selection_prefers_smallest_neutral(monkeypatch):
+    """Smallest-first (run 14's Amdahl lesson): with a fixed input, the
+    serial driver tail costs 4x in the ratio on short walls, so the
+    longest-wall (smallest-N) neutral pair is the transferable one —
+    even when larger pairs read neutral too."""
+    ceilings = {1: (0.98, 1.05), 2: (0.99, 1.02), 4: (0.94, 0.89)}
+    monkeypatch.setattr(bench, "host_ceilings", lambda n, factor=4: ceilings[n])
+    n, report = bench.select_scaling_pair()
+    assert n == 1
+    assert [r["n"] for r in report] == [1, 2, 4]  # probed smallest-first
+    assert report[0]["neutral"] and report[1]["neutral"] and not report[2]["neutral"]
+
+    # nothing neutral -> fall back to the smallest candidate, never 4
+    monkeypatch.setattr(bench, "host_ceilings", lambda n, factor=4: (0.7, 0.6))
+    n, report = bench.select_scaling_pair()
+    assert n == 1 and not any(r["neutral"] for r in report)
