@@ -291,6 +291,108 @@ def plan_unit_bounds(
     return out
 
 
+_STATS_DDL = (
+    "pid int, file_name string, row_count long, token_count long, "
+    "min_doc_id string, max_doc_id string, min_n_tok int, max_n_tok int, "
+    "zmin long, zmax long, zq array<long>"
+)
+
+
+def _write_sorted_with_stats(df, staging: str, zstd_level: int) -> list[dict]:
+    """Write each partition of ``df`` (already routed + zkey-sorted) to
+    ONE parquet file under ``staging`` AND compute that file's manifest
+    stats in the same pass — one Spark job where the old path ran two
+    (JVM parquet write, then a column-pruned RE-READ of every output
+    file for ``manifest.compute_file_stats``).
+
+    Each task streams its partition's Arrow batches into a pyarrow
+    ParquetWriter (same zstd codec/level as the JVM writer) while
+    folding row/token counts, doc_id/n_tok/zkey min-max and the zq
+    sample, and emits ONE stats row. The stats definition is
+    bit-identical to :func:`manifest.compute_file_stats` (same sample
+    predicate — computed JVM-side as a flag column — same ascending
+    sort, same grid truncation, same tiny-file full-keys fallback);
+    ``test_checkpointed_stats_match_recomputation`` pins the parity.
+
+    Task-retry safe without a commit protocol: file names carry a fresh
+    uuid per attempt and only files named in COLLECTED stats rows are
+    renamed out of staging; a failed attempt's partial file dies with
+    the staging dir."""
+    from hoopstat_haus_spark.lakehouse.manifest import ZQ_GRID, ZQ_SAMPLE_MOD
+
+    flag = F.pmod(F.xxhash64("doc_id", F.lit(13)), F.lit(ZQ_SAMPLE_MOD)) == 0
+    wide = df.withColumn("_zs_flag", flag)
+
+    def write_partition(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        name = f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.parquet"
+        writer = None
+        n_rows = 0
+        tok_sum = 0
+        min_doc = max_doc = None
+        min_nt = max_nt = None
+        zk_parts: list = []
+        samp_parts: list = []
+        for batch in batches:
+            cols = batch.schema.names
+            zk = batch.column(cols.index("_zkey")).to_numpy(zero_copy_only=False)
+            fl = batch.column(cols.index("_zs_flag")).to_numpy(zero_copy_only=False)
+            data = batch.drop_columns(["_zs_flag"])
+            if writer is None:
+                writer = pq.ParquetWriter(
+                    os.path.join(staging, name),
+                    data.schema,
+                    compression="zstd",
+                    compression_level=zstd_level,
+                )
+            writer.write_batch(data)
+            n_rows += batch.num_rows
+            nt = batch.column(cols.index("n_tok"))
+            tok_sum += pa.compute.sum(nt).as_py() or 0
+            mm = pa.compute.min_max(nt)
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            min_nt = lo if min_nt is None else min(min_nt, lo)
+            max_nt = hi if max_nt is None else max(max_nt, hi)
+            dm = pa.compute.min_max(batch.column(cols.index("doc_id")))
+            dlo, dhi = dm["min"].as_py(), dm["max"].as_py()
+            min_doc = dlo if min_doc is None else min(min_doc, dlo)
+            max_doc = dhi if max_doc is None else max(max_doc, dhi)
+            zk_parts.append(zk)
+            samp_parts.append(zk[fl.astype(bool)])
+        if writer is None:  # empty route partition: no file, no stats row
+            return
+        writer.close()
+        zk_all = np.concatenate(zk_parts)
+        samp = np.concatenate(samp_parts)
+        zs = np.sort(samp if len(samp) else zk_all)  # tiny-file fallback
+        n = len(zs)
+        if n > ZQ_GRID - 1:
+            zs = zs[[min(n - 1, i * n // ZQ_GRID) for i in range(1, ZQ_GRID)]]
+        yield pa.RecordBatch.from_pydict(
+            {
+                "pid": pa.array([pid], pa.int32()),
+                "file_name": pa.array([name], pa.string()),
+                "row_count": pa.array([n_rows], pa.int64()),
+                "token_count": pa.array([tok_sum], pa.int64()),
+                "min_doc_id": pa.array([min_doc], pa.string()),
+                "max_doc_id": pa.array([max_doc], pa.string()),
+                "min_n_tok": pa.array([min_nt], pa.int32()),
+                "max_n_tok": pa.array([max_nt], pa.int32()),
+                "zmin": pa.array([int(zk_all.min())], pa.int64()),
+                "zmax": pa.array([int(zk_all.max())], pa.int64()),
+                "zq": pa.array([[int(z) for z in zs]], pa.list_(pa.int64())),
+            }
+        )
+
+    return [r.asDict() for r in wide.mapInArrow(write_partition, _STATS_DDL).collect()]
+
+
 def compact_partition(
     spark: SparkSession,
     table_path: str,
@@ -303,8 +405,11 @@ def compact_partition(
     strategy: str = "sort",
     read_ddl: str | None = None,
     bounds: list[int] | None = None,
-) -> list[str]:
-    """Rewrite one partition's victim files; returns new relative paths.
+) -> tuple[list[str], list[dict]]:
+    """Rewrite one partition's victim files; returns (new relative
+    paths, their manifest stats entries). Stats are computed INSIDE the
+    rewrite job (:func:`_write_sorted_with_stats`) — no post-rewrite
+    stats scan ever re-reads the output.
 
     Staging-then-rename keeps the partition directory consistent: readers
     resolve files through the manifest, so in-flight staged files are
@@ -381,23 +486,43 @@ def compact_partition(
     staging = os.path.join(table_path, ".staging", job_id, partition)
     if os.path.exists(staging):
         shutil.rmtree(staging)  # discard partial output from a crashed run
-    df.write.mode("overwrite").parquet(staging)
+    os.makedirs(staging, exist_ok=True)
+    zstd_level = int(
+        spark.conf.get("spark.hadoop.parquet.compression.codec.zstd.level", "1")
+    )
+    stats_rows = _write_sorted_with_stats(df, staging, zstd_level)
 
     part_dir = os.path.join(data_dir, f"source={partition}")
     os.makedirs(part_dir, exist_ok=True)
     new_rel: list[str] = []
-    seq = 0
-    for name in sorted(os.listdir(staging)):
-        if not name.endswith(".parquet"):
-            continue
+    entries: list[dict] = []
+    zq_curve = curve  # stored _zkey + sketch were written with this run's curve
+    for seq, r in enumerate(sorted(stats_rows, key=lambda x: x["pid"])):
         final = f"compact-{job_id}-{seq:05d}.parquet"
-        os.replace(os.path.join(staging, name), os.path.join(part_dir, final))
-        new_rel.append(f"data/source={partition}/{final}")
-        seq += 1
+        os.replace(os.path.join(staging, r["file_name"]), os.path.join(part_dir, final))
+        rel = f"data/source={partition}/{final}"
+        new_rel.append(rel)
+        entries.append(
+            {
+                "partition": partition,
+                "row_count": r["row_count"],
+                "token_count": r["token_count"],
+                "min_doc_id": r["min_doc_id"],
+                "max_doc_id": r["max_doc_id"],
+                "min_n_tok": r["min_n_tok"],
+                "max_n_tok": r["max_n_tok"],
+                "zmin": r["zmin"],
+                "zmax": r["zmax"],
+                "zq": [int(z) for z in r["zq"]] or None,
+                "file_path": rel,
+                "file_bytes": os.path.getsize(os.path.join(part_dir, final)),
+                "zq_curve": zq_curve,
+            }
+        )
     # remove only THIS unit's staging dir — other units of the job may
     # still be writing under .staging/<job_id>/ concurrently
     shutil.rmtree(staging, ignore_errors=True)
-    return new_rel
+    return new_rel, entries
 
 
 def estimate_parquet_bytes(row_count: int, avg_tokens: float) -> int:

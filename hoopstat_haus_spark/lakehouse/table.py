@@ -507,7 +507,12 @@ class TokenLakeTable:
             in_paths = [f["file_path"] for f in inputs]
             t0 = time.time()
             ckpt.intent(part, in_paths)
-            out = compact_partition(
+            # stats come back from the SAME job that writes the files
+            # (compaction._write_sorted_with_stats): one job per unit
+            # instead of write + a column-pruned re-read of the output —
+            # fewer stage boundaries (the serial tail costs 4x in N->4N
+            # scaling) and ~GB-scale less read I/O per cycle
+            out, stats = compact_partition(
                 self.spark,
                 self.path,
                 part,
@@ -520,11 +525,6 @@ class TokenLakeTable:
                 read_ddl=read_ddl,
                 bounds=unit_bounds.get(part),
             )
-            # stats for THIS unit's output inside the unit thread: it
-            # overlaps other units' rewrites instead of serializing one
-            # all-files stats job between the last rewrite and the
-            # commit (the serial tail costs 4x in N->4N scaling)
-            stats = mf.compute_file_stats(self.spark, self.path, out, curve=unit_curve(part))
             ckpt.done(
                 part,
                 in_paths,

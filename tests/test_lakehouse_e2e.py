@@ -163,9 +163,11 @@ def test_resume_skips_completed_units(spark, tmp_table_dir):
     # simulate a crash: one unit completed, no snapshot committed
     ck = JobCheckpoint(t.path, "job-x")
     ck.intent(part, in_paths)
-    out = compact_partition(
+    out, _stats = compact_partition(
         spark, t.path, part, in_paths, sum(f["file_bytes"] for f in inputs), POLICY, "job-x"
     )
+    # checkpoint WITHOUT output_stats: exercises the stale-checkpoint
+    # resume path (stats recomputed by the resuming run)
     ck.done(part, in_paths, out, rows=1, tokens=1, duration_s=0.0)
     assert t.log.current_id() == 1  # crash left readers untouched
 
