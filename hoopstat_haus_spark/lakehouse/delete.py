@@ -209,8 +209,9 @@ def _delete_run(
     target = read_touched(table, schema, cand_paths)
     survivors = target.filter(~F.coalesce(pred, F.lit(False)))
     survivors = with_zkey(survivors, curve=curve).sortWithinPartitions("source", mf.ZKEY_COL)
-    new_files = table._write_files(survivors, f"delete-{job_id}", repartition_n=None)
-    fresh = mf.compute_file_stats(spark, table.path, new_files, curve=curve)
+    new_files, fresh = table._write_files(
+        survivors, f"delete-{job_id}", repartition_n=None, curve=curve
+    )
     metrics.files_out = len(fresh)
     metrics.bytes_out = sum(e["file_bytes"] for e in fresh)
     ckpt.done(

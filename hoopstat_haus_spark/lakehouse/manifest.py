@@ -201,6 +201,208 @@ def compute_file_stats(
     return out
 
 
+def _escape_partition_value(v: str) -> str:
+    """Hive/Spark-compatible partition-dir escaping (the exact char set
+    ``ExternalCatalogUtils.escapePathName`` encodes): control chars, DEL
+    and ``"#%'*/:=?\\{[]^`` become %XX; everything else (including
+    space and non-ASCII) passes through raw — so the fused writer's
+    directory names are byte-identical to what ``partitionBy('source')``
+    produced for the same values."""
+    special = '"#%\'*/:=?\\{[]^'
+    return "".join(
+        f"%{ord(ch):02X}" if (ord(ch) < 32 or ord(ch) == 127 or ch in special) else ch
+        for ch in v
+    )
+
+
+_PARTITIONED_STATS_DDL = (
+    "pid int, partition string, dir string, file_name string, row_count long, "
+    "token_count long, min_doc_id string, max_doc_id string, min_n_tok int, "
+    "max_n_tok int, zmin long, zmax long, zq array<long>"
+)
+
+# fused-writer buffering: flush a source's accumulated batches as one
+# row group at this many rows (~128 MB at the ~1 KB/row token payload),
+# and flush everything when the task's total buffer crosses the cap
+_FLUSH_ROWS_PER_SOURCE = 128_000
+_FLUSH_ROWS_TOTAL = 512_000
+
+
+def write_partitioned_with_stats(
+    df: DataFrame, staging: str, curve: str, zstd_level: int
+) -> list[dict]:
+    """Write ``df`` partitioned by ``source`` under ``staging`` AND
+    compute every output file's manifest stats in the SAME job — the
+    fused form of ``partitionBy('source').parquet(...)`` followed by
+    :func:`compute_file_stats`, which re-read every written file.
+
+    Each task splits its Arrow batches by ``source`` and streams them
+    into one pyarrow ParquetWriter per source (same zstd codec/level as
+    the JVM writer; batches accumulate to row groups of up to
+    {_FLUSH_ROWS_PER_SOURCE} rows), folding the stats accumulators
+    batch-wise. Stats are bit-identical to :func:`compute_file_stats`:
+    same JVM-computed zq sample flag, ascending sort, grid truncation
+    and tiny-file full-keys fallback; clustered inputs (``_zkey``
+    column present) sketch the stored key and record real zmin/zmax,
+    unclustered inputs sketch the DERIVED Morton key (computed JVM-side
+    as a helper column, dropped from the file) with zmin = zmax = -1.
+
+    Returns one dict per written file: ``partition`` (raw value),
+    ``dir`` (escaped ``source=...`` dir under staging), ``file_name``,
+    ``pid`` and the stat fields. The caller renames files out of
+    staging and attaches ``file_path``/``file_bytes``/``zq_curve``.
+    Task-retry safe: names carry a fresh uuid per attempt and only
+    files named in collected rows are renamed."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    has_zkey = ZKEY_COL in df.columns
+    flag = F.pmod(F.xxhash64("doc_id", F.lit(13)), F.lit(ZQ_SAMPLE_MOD)) == 0
+    wide = df.withColumn("_zs_flag", flag)
+    if not has_zkey:
+        from hoopstat_haus_spark.lakehouse.zorder import zkey_expr_zorder
+
+        wide = wide.withColumn(
+            "_zq_src", zkey_expr_zorder(F.col("n_tok"), F.xxhash64(F.col("doc_id")), 0, 4096)
+        )
+    zsrc_col = ZKEY_COL if has_zkey else "_zq_src"
+    helper_cols = ["_zs_flag"] + ([] if has_zkey else ["_zq_src"])
+
+    def write_task(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        state: dict[str, dict] = {}  # source value -> accumulators
+        total_buffered = 0
+
+        def flush(st):
+            nonlocal total_buffered
+            if not st["buf"]:
+                return
+            tbl = pa.Table.from_batches(st["buf"])
+            if st["writer"] is None:
+                os.makedirs(os.path.dirname(st["path"]), exist_ok=True)
+                st["writer"] = pq.ParquetWriter(
+                    st["path"], tbl.schema, compression="zstd", compression_level=zstd_level
+                )
+            st["writer"].write_table(tbl)
+            total_buffered -= st["buf_rows"]
+            st["buf"], st["buf_rows"] = [], 0
+
+        for batch in batches:
+            cols = batch.schema.names
+            src_idx = cols.index("source")
+            zk = batch.column(cols.index(zsrc_col)).to_numpy(zero_copy_only=False)
+            fl = batch.column(cols.index("_zs_flag")).to_numpy(zero_copy_only=False).astype(bool)
+            drop = ["source", *helper_cols]
+            for val in pc.unique(batch.column(src_idx)).to_pylist():
+                mask = pc.equal(batch.column(src_idx), val)
+                sub = batch.filter(mask)
+                st = state.get(val)
+                if st is None:
+                    d = f"source={_escape_partition_value(val)}"
+                    name = f"part-{pid:05d}-{_uuid.uuid4().hex[:8]}.parquet"
+                    st = state[val] = {
+                        "dir": d,
+                        "name": name,
+                        "path": os.path.join(staging, d, name),
+                        "writer": None,
+                        "buf": [],
+                        "buf_rows": 0,
+                        "n_rows": 0,
+                        "tok_sum": 0,
+                        "min_doc": None,
+                        "max_doc": None,
+                        "min_nt": None,
+                        "max_nt": None,
+                        "zk": [],
+                        "samp": [],
+                    }
+                st["buf"].append(sub.drop_columns(drop))
+                st["buf_rows"] += sub.num_rows
+                total_buffered += sub.num_rows
+                st["n_rows"] += sub.num_rows
+                nt = sub.column(sub.schema.names.index("n_tok"))
+                st["tok_sum"] += pc.sum(nt).as_py() or 0
+                mm = pc.min_max(nt)
+                lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                st["min_nt"] = lo if st["min_nt"] is None else min(st["min_nt"], lo)
+                st["max_nt"] = hi if st["max_nt"] is None else max(st["max_nt"], hi)
+                dm = pc.min_max(sub.column(sub.schema.names.index("doc_id")))
+                dlo, dhi = dm["min"].as_py(), dm["max"].as_py()
+                st["min_doc"] = dlo if st["min_doc"] is None else min(st["min_doc"], dlo)
+                st["max_doc"] = dhi if st["max_doc"] is None else max(st["max_doc"], dhi)
+                m = mask.to_numpy(zero_copy_only=False).astype(bool)
+                st["zk"].append(zk[m])
+                st["samp"].append(zk[m & fl])
+                if st["buf_rows"] >= _FLUSH_ROWS_PER_SOURCE:
+                    flush(st)
+            if total_buffered >= _FLUSH_ROWS_TOTAL:
+                for st in state.values():
+                    flush(st)
+
+        out: dict[str, list] = {
+            k: []
+            for k in (
+                "pid", "partition", "dir", "file_name", "row_count", "token_count",
+                "min_doc_id", "max_doc_id", "min_n_tok", "max_n_tok", "zmin", "zmax", "zq",
+            )
+        }
+        for val, st in state.items():
+            flush(st)
+            if st["writer"] is None:
+                continue
+            st["writer"].close()
+            zk_all = np.concatenate(st["zk"])
+            samp = np.concatenate(st["samp"])
+            zs = np.sort(samp if len(samp) else zk_all)
+            n = len(zs)
+            if n > ZQ_GRID - 1:
+                zs = zs[[min(n - 1, i * n // ZQ_GRID) for i in range(1, ZQ_GRID)]]
+            out["pid"].append(pid)
+            out["partition"].append(val)
+            out["dir"].append(st["dir"])
+            out["file_name"].append(st["name"])
+            out["row_count"].append(st["n_rows"])
+            out["token_count"].append(st["tok_sum"])
+            out["min_doc_id"].append(st["min_doc"])
+            out["max_doc_id"].append(st["max_doc"])
+            out["min_n_tok"].append(st["min_nt"])
+            out["max_n_tok"].append(st["max_nt"])
+            out["zmin"].append(int(zk_all.min()) if has_zkey else -1)
+            out["zmax"].append(int(zk_all.max()) if has_zkey else -1)
+            out["zq"].append([int(z) for z in zs])
+        if out["pid"]:
+            yield pa.RecordBatch.from_pydict(
+                out,
+                schema=pa.schema(
+                    [
+                        ("pid", pa.int32()),
+                        ("partition", pa.string()),
+                        ("dir", pa.string()),
+                        ("file_name", pa.string()),
+                        ("row_count", pa.int64()),
+                        ("token_count", pa.int64()),
+                        ("min_doc_id", pa.string()),
+                        ("max_doc_id", pa.string()),
+                        ("min_n_tok", pa.int32()),
+                        ("max_n_tok", pa.int32()),
+                        ("zmin", pa.int64()),
+                        ("zmax", pa.int64()),
+                        ("zq", pa.list_(pa.int64())),
+                    ]
+                ),
+            )
+
+    return [r.asDict() for r in wide.mapInArrow(write_task, _PARTITIONED_STATS_DDL).collect()]
+
+
 _MANIFEST_FIELDS = [
     ("file_path", pa.string()),
     ("partition", pa.string()),

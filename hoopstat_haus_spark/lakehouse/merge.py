@@ -208,6 +208,7 @@ def _merge_apply(
 
     u = updates.alias("u")
     new_files: list[str] = []
+    rw_stats: list[dict] = []
     ckpt.intent("rewrite", cand_paths)
     t0 = time.time()
     if cand_paths:
@@ -232,7 +233,10 @@ def _merge_apply(
             F.col("source"),
         )
         survivors = with_zkey(survivors, curve=curve).sortWithinPartitions("source", mf.ZKEY_COL)
-        new_files += table._write_files(survivors, f"merge-{job_id}", repartition_n=None)
+        rw_files, rw_stats = table._write_files(
+            survivors, f"merge-{job_id}", repartition_n=None, curve=curve
+        )
+        new_files += rw_files
 
         matched_keys = (
             t.join(F.broadcast(u.select("doc_id", "source")), ["doc_id", "source"], "left_semi")
@@ -269,11 +273,17 @@ def _merge_apply(
             salt = F.pmod(F.xxhash64("doc_id"), F.lit(int(n_ins_parts)))
             sized = inserts.repartition(int(n_ins_parts), "source", salt)
             sized = with_zkey(sized, curve=curve).sortWithinPartitions("source", mf.ZKEY_COL)
-            new_files += table._write_files(sized, f"insert-{job_id}", repartition_n=None)
+            ins_files, ins_stats = table._write_files(
+                sized, f"insert-{job_id}", repartition_n=None, curve=curve
+            )
+            new_files += ins_files
+            rw_stats += ins_stats
     finally:
         inserts.unpersist()
 
-    fresh = mf.compute_file_stats(spark, table.path, new_files, curve=curve)
+    # stats came back from the write jobs themselves (fused writer) —
+    # no re-read of the new files
+    fresh = rw_stats
     metrics.files_out = len(fresh)
     metrics.bytes_out = sum(e["file_bytes"] for e in fresh)
     metrics.rows = sum(e["row_count"] for e in fresh)

@@ -108,37 +108,66 @@ class TokenLakeTable:
     def data_dir(self) -> str:
         return os.path.join(self.path, "data")
 
-    def _write_files(self, df: DataFrame, prefix: str, repartition_n: int | None) -> list[str]:
-        """Stage a partitionBy('source') write, then rename files into the
-        table's data dirs. Returns new table-relative paths."""
+    def _write_files(
+        self, df: DataFrame, prefix: str, repartition_n: int | None, curve: str = "zorder"
+    ) -> tuple[list[str], list[dict]]:
+        """Stage a source-partitioned write, then rename files into the
+        table's data dirs. Returns (new table-relative paths, their
+        manifest stats entries).
+
+        The write goes through ``manifest.write_partitioned_with_stats``:
+        ONE job writes the files AND computes their manifest stats,
+        replacing the old partitionBy write plus a column-pruned re-read
+        of every new file for ``compute_file_stats`` — every write path
+        (create/append/merge/DML/WAP) drops a full stats job and its
+        stage boundaries. ``curve`` names the curve a stored ``_zkey``
+        was computed with (ignored for unclustered input, which sketches
+        the derived Morton key exactly like ``compute_file_stats``)."""
         job = f"{prefix}-{uuid.uuid4().hex[:10]}"
         staging = os.path.join(self.path, ".staging", job)
         out = df
         if repartition_n:
             out = out.repartition(repartition_n)
         keep = set(self.schema_def().names()) | {mf.ZKEY_COL}
-        (
-            out.select(*[c for c in out.columns if c in keep])
-            .write.mode("overwrite")
-            .partitionBy("source")
-            .parquet(staging)
+        out = out.select(*[c for c in out.columns if c in keep])
+        os.makedirs(staging, exist_ok=True)
+        zstd_level = int(
+            self.spark.conf.get("spark.hadoop.parquet.compression.codec.zstd.level", "1")
         )
+        zq_curve = curve if mf.ZKEY_COL in out.columns else "zorder"
+        rows = mf.write_partitioned_with_stats(out, staging, curve, zstd_level)
         new_rel: list[str] = []
-        for src_dir in sorted(os.listdir(staging)):
-            if not src_dir.startswith("source="):
-                continue
-            part_dir = os.path.join(self.data_dir, src_dir)
+        entries: list[dict] = []
+        seq: dict[str, int] = {}
+        for r in sorted(rows, key=lambda x: (x["dir"], x["pid"], x["file_name"])):
+            d = r["dir"]
+            s = seq.get(d, 0)
+            seq[d] = s + 1
+            part_dir = os.path.join(self.data_dir, d)
             os.makedirs(part_dir, exist_ok=True)
-            seq = 0
-            for name in sorted(os.listdir(os.path.join(staging, src_dir))):
-                if not name.endswith(".parquet"):
-                    continue
-                final = f"{job}-{seq:05d}.parquet"
-                os.replace(os.path.join(staging, src_dir, name), os.path.join(part_dir, final))
-                new_rel.append(f"data/{src_dir}/{final}")
-                seq += 1
+            final = f"{job}-{s:05d}.parquet"
+            os.replace(os.path.join(staging, d, r["file_name"]), os.path.join(part_dir, final))
+            rel = f"data/{d}/{final}"
+            new_rel.append(rel)
+            entries.append(
+                {
+                    "partition": r["partition"],
+                    "row_count": r["row_count"],
+                    "token_count": r["token_count"],
+                    "min_doc_id": r["min_doc_id"],
+                    "max_doc_id": r["max_doc_id"],
+                    "min_n_tok": r["min_n_tok"],
+                    "max_n_tok": r["max_n_tok"],
+                    "zmin": r["zmin"],
+                    "zmax": r["zmax"],
+                    "zq": [int(z) for z in r["zq"]] or None,
+                    "file_path": rel,
+                    "file_bytes": os.path.getsize(os.path.join(part_dir, final)),
+                    "zq_curve": zq_curve,
+                }
+            )
         shutil.rmtree(staging, ignore_errors=True)
-        return new_rel
+        return new_rel, entries
 
     @classmethod
     def create(
@@ -155,8 +184,7 @@ class TokenLakeTable:
         if t.log.current_id() is not None:
             raise ValueError(f"table already exists at {path}")
         os.makedirs(t.data_dir, exist_ok=True)
-        new_files = t._write_files(df, "append", repartition_n)
-        entries = mf.compute_file_stats(spark, t.path, new_files)
+        _new_files, entries = t._write_files(df, "append", repartition_n)
         rel = mf.write_manifest(t.path, entries)
         t.log.commit(rel, "append", t._stamp(_summary(entries)))
         return t
@@ -169,8 +197,7 @@ class TokenLakeTable:
         the partitions the batch lands in get a new shard; the rest of
         the table is carried by reference in the new manifest list."""
         head = self.log.current()
-        new_files = self._write_files(self.schema_def().conform(df), "append", repartition_n)
-        fresh = mf.compute_file_stats(self.spark, self.path, new_files)
+        _new_files, fresh = self._write_files(self.schema_def().conform(df), "append", repartition_n)
         by_part: dict[str, list[dict]] = {}
         for e in fresh:
             by_part.setdefault(e["partition"], []).append(e)
@@ -371,7 +398,7 @@ class TokenLakeTable:
         curve: str = "zorder",
         strategy: str = "sort",
         job_id: str | None = None,
-        max_concurrent_units: int = 4,
+        max_concurrent_units: int | None = None,
         sources: list[str] | None = None,
         curve_by_source: dict[str, str] | None = None,
     ) -> tuple[Snapshot | None, JobMetrics]:
@@ -396,8 +423,13 @@ class TokenLakeTable:
         driver threads): Spark's scheduler interleaves their stages, so
         small partitions fill task slots a big partition's tail leaves
         idle — without this, per-source sequencing caps utilization at
-        each source's own partition count.
+        each source's own partition count. Default (None) is
+        scale-adaptive: max(4, defaultParallelism // 2), so a
+        many-partition table on a wide cluster isn't throttled to 4
+        in-flight units while most cores idle.
         """
+        if max_concurrent_units is None:
+            max_concurrent_units = max(4, self.spark.sparkContext.defaultParallelism // 2)
         policy = policy or CompactionPolicy()
         job_id = job_id or f"compact-{uuid.uuid4().hex[:10]}"
         metrics = JobMetrics(job=job_id)

@@ -151,8 +151,9 @@ def _update_run(
     # scan path can no longer read (INT32 expected, DOUBLE found)
     updated = schema.conform(updated)
     updated = with_zkey(updated, curve=curve).sortWithinPartitions("source", mf.ZKEY_COL)
-    new_files = table._write_files(updated, f"update-{job_id}", repartition_n=None)
-    fresh = mf.compute_file_stats(spark, table.path, new_files, curve=curve)
+    new_files, fresh = table._write_files(
+        updated, f"update-{job_id}", repartition_n=None, curve=curve
+    )
     metrics.files_out = len(fresh)
     metrics.bytes_out = sum(e["file_bytes"] for e in fresh)
     ckpt.done(

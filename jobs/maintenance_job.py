@@ -84,7 +84,8 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--curve", choices=["zorder", "hilbert"], default="zorder")
     c.add_argument("--strategy", choices=["sort", "binpack"], default="sort")
     c.add_argument("--job-id", default=None, help="reuse to resume a crashed run")
-    c.add_argument("--concurrent-units", type=int, default=4)
+    # default None = scale-adaptive (max(4, defaultParallelism // 2))
+    c.add_argument("--concurrent-units", type=int, default=None)
     c.add_argument(
         "--since-snapshot",
         type=int,

@@ -280,3 +280,32 @@ def test_scan_chunks_huge_path_lists(spark, tmp_table_dir, monkeypatch):
     # stat-range pruning still applies before chunking
     pruned = t.scan(n_tok_min=100)
     assert pruned.count() == t.scan().filter("n_tok >= 100").count()
+
+
+def test_fused_write_stats_match_recomputation(spark, tmp_table_dir):
+    """Round-6 fused writer: create/append manifest entries come from
+    the SAME job that writes the files (write_partitioned_with_stats).
+    They must be byte-identical to a fresh compute_file_stats pass over
+    the written files — drift would corrupt pruning bounds and the
+    metadata-only compaction planner (zq sketches)."""
+    from hoopstat_haus_spark.lakehouse import manifest as mf
+
+    t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 6000), repartition_n=5)
+    entries = {e["file_path"]: e for e in t.manifest_entries()}
+    fresh = mf.compute_file_stats(spark, t.path, sorted(entries))
+    assert len(fresh) == len(entries)
+    for e in fresh:
+        assert entries[e["file_path"]] == e
+
+
+def test_partition_dir_escaping_matches_spark():
+    """The fused writer's partition-dir names must stay byte-identical
+    to what Spark's partitionBy produced for the same values (mixed old
+    and new files share data/source=<v>/ directories)."""
+    from hoopstat_haus_spark.lakehouse.manifest import _escape_partition_value
+
+    assert _escape_partition_value("web") == "web"
+    assert _escape_partition_value("src 1") == "src 1"  # space stays raw
+    assert _escape_partition_value("a/b") == "a%2Fb"
+    assert _escape_partition_value("a:b=c") == "a%3Ab%3Dc"
+    assert _escape_partition_value("p%q") == "p%25q"
