@@ -20,11 +20,17 @@ schema evolution (no file touched) emits nothing.
 Scale design: the diff walks the two manifest LISTS shard-aware —
 partitions carried by reference (same shard path) are skipped without
 opening their shards; only files present on exactly one side are ever
-read. The classifying join shuffles only those changed files' rows on
-(doc_id, source), so a 1-of-10^4-partition MERGE diffs against one
-partition's changed files, not the table. Equal-content rewrite rows
-(compaction) are filtered AFTER the join by a content signature
-computed in the scan projection (whole-stage codegen, no Python).
+read. Row comparison is TWO-PHASE (round 6): the classifying full-outer
+join carries only (doc_id, source, sig) — the content signature is
+computed in the scan projection and the token payload never enters that
+exchange (~60 B/row shuffled instead of the ~1 KB row twice) — then
+payloads are fetched with a second join ONLY for the net-changed keys,
+broadcast when the changed-key set is small, and skipped entirely for
+change classes the classify counts prove empty. CDC over a pure
+compaction therefore shuffles zero payload bytes and never re-reads the
+files in phase 2; a pure append/expiry diff (nothing removed/added)
+short-circuits to a direct labeled scan with no join at all (the
+one-row-per-key table invariant makes every added row an insert).
 """
 
 from __future__ import annotations
@@ -38,6 +44,12 @@ from hoopstat_haus_spark.lakehouse import manifest as mf
 from hoopstat_haus_spark.lakehouse.table import TokenLakeTable
 
 CHANGE_COL = "_change"
+
+# fetch-join build side: broadcast the changed-key set while it fits
+# comfortably under the session's 32 MB autoBroadcast threshold
+# (~60 B/key); past that the payload side shuffles once (sort-merge),
+# which is the scale-correct fallback for a table-wide churn diff
+BROADCAST_KEYS_MAX = 500_000
 
 
 def changed_files(table: TokenLakeTable, from_id: int, to_id: int) -> tuple[list[str], list[str]]:
@@ -80,70 +92,89 @@ def table_changes(
     if not added and not removed:
         return table.spark.createDataFrame([], schema=empty_ddl)
 
-    def read_side(paths: list[str], tag: str) -> DataFrame:
-        if not paths:
-            return table.spark.createDataFrame(
-                [],
-                schema=f"doc_id string, source string, {tag}_v struct<"
-                + ", ".join(f"{f['name']}: {f['type']}" for f in schema.fields if f["name"] in value_names)
-                + f">, {tag}_sig string",
-            )
+    def read_rows(paths: list[str]) -> DataFrame:
         df = (
             table.spark.read.option("basePath", table.data_dir)
             .schema(schema.ddl(extra=((mf.ZKEY_COL, "long"),)))
             .parquet(*[os.path.join(table.path, p) for p in paths])
             .drop(mf.ZKEY_COL)
         )
-        df = schema.apply_defaults(df)
-        val = F.struct(*[F.col(c) for c in value_names])
-        # signature in the scan projection: content equality is decided
-        # by one string compare post-join instead of N column compares
-        return df.select(
-            "doc_id", "source", val.alias(f"{tag}_v"), F.md5(F.to_json(val)).alias(f"{tag}_sig")
-        )
+        return schema.apply_defaults(df)
 
-    new_side = read_side(added, "n")
-    old_side = read_side(removed, "o")
-    joined = new_side.join(old_side, ["doc_id", "source"], "full_outer")
+    def labeled(df: DataFrame, kinds: F.Column) -> DataFrame:
+        return df.select(*names, kinds.alias(CHANGE_COL))
+
+    # one-sided diffs need no join at all: the one-row-per-key table
+    # invariant means a commit that removed nothing cannot have written
+    # an existing key (the table would hold the key twice), so every
+    # added row is an insert — and symmetrically for pure removals.
+    if not removed:
+        return labeled(read_rows(added), F.lit("insert"))
+    if not added:
+        return labeled(read_rows(removed), F.lit("delete"))
+
+    sig = F.md5(F.to_json(F.struct(*[F.col(c) for c in value_names])))
+
+    def skinny(paths: list[str], tag: str) -> DataFrame:
+        # signature in the scan projection: the classify join below
+        # shuffles (doc_id, source, sig) — the payload never enters it
+        return read_rows(paths).select("doc_id", "source", sig.alias(f"{tag}_sig"))
+
     is_del = F.col("n_sig").isNull()
     is_ins = F.col("o_sig").isNull()
     is_upd = ~is_del & ~is_ins & (F.col("n_sig") != F.col("o_sig"))
-    if preimage:
-        # updates fan out to (pre, post) via a 2-element explode; the
-        # expression stays fully native (no shuffle added — explode is a
-        # narrow generator over the join output)
-        emitted = (
-            F.when(is_del, F.array(F.struct(F.col("o_v").alias("v"), F.lit("delete").alias("k"))))
-            .when(is_ins, F.array(F.struct(F.col("n_v").alias("v"), F.lit("insert").alias("k"))))
-            .when(
-                is_upd,
-                F.array(
-                    F.struct(F.col("o_v").alias("v"), F.lit("update_pre").alias("k")),
-                    F.struct(F.col("n_v").alias("v"), F.lit("update_post").alias("k")),
-                ),
-            )
-        )
-        ex = joined.select("doc_id", "source", F.explode(emitted).alias("e"))
-        out_cols = [
-            (F.col(c) if c in ("doc_id", "source") else F.col("e.v")[c]).alias(c) for c in names
-        ]
-        return ex.select(*out_cols, F.col("e.k").alias(CHANGE_COL))
     change = (
         F.when(is_del, F.lit("delete"))
         .when(is_ins, F.lit("insert"))
         .when(is_upd, F.lit("update"))
     )
-    picked = F.when(change == "delete", F.col("o_v")).otherwise(F.col("n_v"))
-    out_cols = [
-        (F.col("doc_id") if c == "doc_id" else F.col("source") if c == "source" else picked[c])
-        .alias(c)
-        for c in names
-    ]
-    return (
-        joined.withColumn(CHANGE_COL, change)
+    keyed = (
+        skinny(added, "n")
+        .join(skinny(removed, "o"), ["doc_id", "source"], "full_outer")
+        .select("doc_id", "source", change.alias(CHANGE_COL))
         .filter(F.col(CHANGE_COL).isNotNull())
-        .select(*out_cols, CHANGE_COL)
+        .localCheckpoint()  # two fetch joins consume it; never recompute
     )
+    # phase-2 planning from the ACTUAL class counts: a class with zero
+    # keys skips its payload fetch entirely (CDC over a pure compaction
+    # ends here — zero payload rows scanned twice, zero shuffled), and a
+    # small changed-key set broadcasts so the payload side never
+    # shuffles at all
+    counts = {
+        r[CHANGE_COL]: r["n"]
+        for r in keyed.groupBy(CHANGE_COL).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    def fetch(paths: list[str], wanted: list[str], relabel: dict[str, str]) -> DataFrame | None:
+        n_keys = sum(counts.get(k, 0) for k in wanted)
+        if n_keys == 0:
+            return None
+        keys = keyed.filter(F.col(CHANGE_COL).isin(wanted))
+        if n_keys <= BROADCAST_KEYS_MAX:
+            keys = F.broadcast(keys)
+        out = read_rows(paths).join(keys, ["doc_id", "source"], "inner")
+        kinds = F.col(CHANGE_COL)
+        for src_k, dst_k in relabel.items():
+            kinds = F.when(F.col(CHANGE_COL) == src_k, F.lit(dst_k)).otherwise(kinds)
+        return labeled(out, kinds)
+
+    if preimage:
+        parts = [
+            fetch(added, ["insert", "update"], {"update": "update_post"}),
+            fetch(removed, ["delete", "update"], {"update": "update_pre"}),
+        ]
+    else:
+        parts = [
+            fetch(added, ["insert", "update"], {}),
+            fetch(removed, ["delete"], {}),
+        ]
+    parts = [p for p in parts if p is not None]
+    if not parts:
+        return table.spark.createDataFrame([], schema=empty_ddl)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def changes_summary(changes: DataFrame) -> dict[str, int]:

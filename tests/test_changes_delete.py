@@ -265,3 +265,52 @@ def test_dml_on_partition_value_spark_escapes(spark, tmp_path):
     snap, _ = t.delete_where(f"{NUM} % 6 = 0")
     assert snap is not None and snap.summary["matched_rows"] == len(gone)
     assert set(sig_map(t.scan())) == set(pre) - gone
+
+
+def test_changes_classify_join_shuffles_no_payload(spark, tmp_path):
+    """Round-6 two-phase CDC: the classify join over a compaction diff
+    carries only (doc_id, source, sig) — no Exchange in the plan may
+    ship the `tokens` payload (the old one-phase join shuffled the full
+    token arrays on BOTH sides to produce zero rows), and the changed-
+    key classes all count zero, so no phase-2 payload fetch appears."""
+    import io
+    from contextlib import redirect_stdout
+
+    t = TokenLakeTable.create(
+        spark, str(tmp_path / "t"), synthetic(spark, 6000), repartition_n=8
+    )
+    from_id = t.log.current_id()
+    snap, _ = t.compact(POLICY)
+    assert snap is not None
+    ch = table_changes(t, from_id)
+    assert ch.count() == 0
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        ch.explain("formatted")
+    plan = buf.getvalue()
+    for block in plan.split("\n\n"):
+        if block.lstrip().startswith("(") and ") Exchange" in block.splitlines()[0]:
+            assert "tokens" not in block, f"payload in exchange:\n{block}"
+
+
+def test_changes_pure_append_is_joinless_inserts(spark, tmp_path):
+    """A diff that only ADDED files (append/WAP publish) short-circuits
+    to a labeled scan: every row is an insert and the plan contains no
+    join and no exchange at all."""
+    import io
+    from contextlib import redirect_stdout
+
+    t = TokenLakeTable.create(
+        spark, str(tmp_path / "t"), synthetic(spark, 2000), repartition_n=4
+    )
+    from_id = t.log.current_id()
+    t.append(synthetic(spark, 500).withColumn("doc_id", F.concat(F.lit("x"), F.col("doc_id"))))
+    ch = table_changes(t, from_id)
+    got = {r["_change"] for r in ch.select("_change").distinct().collect()}
+    assert got == {"insert"}
+    assert ch.count() == 500
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        ch.explain("formatted")
+    plan = buf.getvalue()
+    assert "Join" not in plan and "Exchange" not in plan
