@@ -298,7 +298,9 @@ _STATS_DDL = (
 )
 
 
-def _write_sorted_with_stats(df, staging: str, zstd_level: int) -> list[dict]:
+def _write_sorted_with_stats(
+    df, staging: str, codec: str | None, codec_level: int | None
+) -> list[dict]:
     """Write each partition of ``df`` (already routed + zkey-sorted) to
     ONE parquet file under ``staging`` AND compute that file's manifest
     stats in the same pass — one Spark job where the old path ran two
@@ -348,8 +350,8 @@ def _write_sorted_with_stats(df, staging: str, zstd_level: int) -> list[dict]:
                 writer = pq.ParquetWriter(
                     os.path.join(staging, name),
                     data.schema,
-                    compression="zstd",
-                    compression_level=zstd_level,
+                    compression=codec or "none",
+                    compression_level=codec_level,
                 )
             writer.write_batch(data)
             n_rows += batch.num_rows
@@ -487,10 +489,10 @@ def compact_partition(
     if os.path.exists(staging):
         shutil.rmtree(staging)  # discard partial output from a crashed run
     os.makedirs(staging, exist_ok=True)
-    zstd_level = int(
-        spark.conf.get("spark.hadoop.parquet.compression.codec.zstd.level", "1")
-    )
-    stats_rows = _write_sorted_with_stats(df, staging, zstd_level)
+    from hoopstat_haus_spark.lakehouse.manifest import parquet_codec_conf
+
+    codec, level = parquet_codec_conf(spark)
+    stats_rows = _write_sorted_with_stats(df, staging, codec, level)
 
     part_dir = os.path.join(data_dir, f"source={partition}")
     os.makedirs(part_dir, exist_ok=True)

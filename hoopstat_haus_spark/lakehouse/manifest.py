@@ -228,8 +228,22 @@ _FLUSH_ROWS_PER_SOURCE = 128_000
 _FLUSH_ROWS_TOTAL = 512_000
 
 
+def parquet_codec_conf(spark: SparkSession) -> tuple[str | None, int | None]:
+    """(codec, level) for the pyarrow writers, honoring the SAME session
+    confs the JVM parquet writer reads — a caller that temporarily sets
+    e.g. snappy (the bench's fragmented-ingest template) must get
+    snappy from the fused writers too."""
+    codec = spark.conf.get("spark.sql.parquet.compression.codec", "zstd").lower()
+    if codec in ("uncompressed", "none"):
+        return None, None
+    level = None
+    if codec == "zstd":
+        level = int(spark.conf.get("spark.hadoop.parquet.compression.codec.zstd.level", "1"))
+    return codec, level
+
+
 def write_partitioned_with_stats(
-    df: DataFrame, staging: str, curve: str, zstd_level: int
+    df: DataFrame, staging: str, curve: str, codec: str | None, codec_level: int | None
 ) -> list[dict]:
     """Write ``df`` partitioned by ``source`` under ``staging`` AND
     compute every output file's manifest stats in the SAME job — the
@@ -289,7 +303,10 @@ def write_partitioned_with_stats(
             if st["writer"] is None:
                 os.makedirs(os.path.dirname(st["path"]), exist_ok=True)
                 st["writer"] = pq.ParquetWriter(
-                    st["path"], tbl.schema, compression="zstd", compression_level=zstd_level
+                    st["path"],
+                    tbl.schema,
+                    compression=codec or "none",
+                    compression_level=codec_level,
                 )
             st["writer"].write_table(tbl)
             total_buffered -= st["buf_rows"]

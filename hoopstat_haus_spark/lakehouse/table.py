@@ -131,11 +131,9 @@ class TokenLakeTable:
         keep = set(self.schema_def().names()) | {mf.ZKEY_COL}
         out = out.select(*[c for c in out.columns if c in keep])
         os.makedirs(staging, exist_ok=True)
-        zstd_level = int(
-            self.spark.conf.get("spark.hadoop.parquet.compression.codec.zstd.level", "1")
-        )
+        codec, level = mf.parquet_codec_conf(self.spark)
         zq_curve = curve if mf.ZKEY_COL in out.columns else "zorder"
-        rows = mf.write_partitioned_with_stats(out, staging, curve, zstd_level)
+        rows = mf.write_partitioned_with_stats(out, staging, curve, codec, level)
         new_rel: list[str] = []
         entries: list[dict] = []
         seq: dict[str, int] = {}
