@@ -283,11 +283,26 @@ def test_changes_classify_join_shuffles_no_payload(spark, tmp_path):
     snap, _ = t.compact(POLICY)
     assert snap is not None
     ch = table_changes(t, from_id)
+    # all classes counted zero -> the returned frame is an EMPTY local
+    # relation: phase 2 planned no payload scan at all
     assert ch.count() == 0
     buf = io.StringIO()
     with redirect_stdout(buf):
         ch.explain("formatted")
+    assert "Scan parquet" not in buf.getvalue()
+
+    # two-sided diff (delete rewrites files): the full plan now contains
+    # the phase-2 fetch; with the changed-key set broadcast, NO Exchange
+    # anywhere may carry the tokens payload
+    from_id2 = t.log.current_id()
+    t.delete_where(f"{NUM} % 500 = 3")
+    ch2 = table_changes(t, from_id2)
+    assert set(changes_summary(ch2)) == {"delete"}
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        ch2.explain("formatted")
     plan = buf.getvalue()
+    assert ") Scan parquet" in plan  # payload fetch is present this time
     for block in plan.split("\n\n"):
         if block.lstrip().startswith("(") and ") Exchange" in block.splitlines()[0]:
             assert "tokens" not in block, f"payload in exchange:\n{block}"
