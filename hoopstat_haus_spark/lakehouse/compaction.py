@@ -494,7 +494,10 @@ def compact_partition(
     codec, level = parquet_codec_conf(spark)
     stats_rows = _write_sorted_with_stats(df, staging, codec, level)
 
-    part_dir = os.path.join(data_dir, f"source={partition}")
+    from hoopstat_haus_spark.lakehouse.manifest import _escape_partition_value
+
+    part_dirname = f"source={_escape_partition_value(partition)}"
+    part_dir = os.path.join(data_dir, part_dirname)
     os.makedirs(part_dir, exist_ok=True)
     new_rel: list[str] = []
     entries: list[dict] = []
@@ -502,7 +505,7 @@ def compact_partition(
     for seq, r in enumerate(sorted(stats_rows, key=lambda x: x["pid"])):
         final = f"compact-{job_id}-{seq:05d}.parquet"
         os.replace(os.path.join(staging, r["file_name"]), os.path.join(part_dir, final))
-        rel = f"data/source={partition}/{final}"
+        rel = f"data/{part_dirname}/{final}"
         new_rel.append(rel)
         entries.append(
             {

@@ -570,7 +570,16 @@ class TokenLakeTable:
             from concurrent.futures import ThreadPoolExecutor
 
             workers = max(1, min(max_concurrent_units, len(pending)))
-            # biggest partitions first: small ones backfill the tail
+            # biggest partitions first: small ones backfill the tail.
+            # (A single globally-routed job for ALL units — one map
+            # stage, one shuffle, one write stage — was built and
+            # interleaved-A/B'd in round 6: it trades the per-unit job
+            # boundaries for a global shuffle BARRIER, which loses the
+            # map/write pipelining across units. Measured min-of-K:
+            # ~7% faster at local[4]/800k but ~10% SLOWER at
+            # local[16]/3.2M and neutral at local[1]; at 10^4-partition
+            # scale the barrier and the CASE-per-source routing plan
+            # only get worse, so the pipelined per-unit design stays.)
             pending.sort(key=lambda pu: -sum(f["file_bytes"] for f in pu[1]))
             # size map partitions to the JOB, not the default: small-file
             # inputs coalesce under maxPartitionBytes, and the 128 MB
