@@ -309,3 +309,30 @@ def test_partition_dir_escaping_matches_spark():
     assert _escape_partition_value("a/b") == "a%2Fb"
     assert _escape_partition_value("a:b=c") == "a%3Ab%3Dc"
     assert _escape_partition_value("p%q") == "p%25q"
+
+
+def test_fused_write_stats_multibatch_parity(spark, tmp_table_dir):
+    """The fused writers fold stats across MANY Arrow batches per file
+    when rows exceed arrow.maxRecordsPerBatch; pin parity under a tiny
+    batch size (forces multi-batch accumulation, per-source buffering
+    and multi-row-group files on both write paths)."""
+    from hoopstat_haus_spark.lakehouse import manifest as mf
+    from hoopstat_haus_spark.lakehouse.compaction import CompactionPolicy
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "500")
+    try:
+        t = TokenLakeTable.create(spark, tmp_table_dir, synthetic(spark, 8000), repartition_n=2)
+        pol = CompactionPolicy(
+            min_file_bytes=1 << 20, target_file_bytes=2 << 20, max_file_bytes=8 << 20
+        )
+        snap, _m = t.compact(pol, job_id="mb-1")
+        assert snap is not None
+    finally:
+        spark.conf.set(key, prev)
+    entries = {e["file_path"]: e for e in t.manifest_entries()}
+    fresh = mf.compute_file_stats(spark, t.path, sorted(entries))
+    assert len(fresh) == len(entries)
+    for e in fresh:
+        assert entries[e["file_path"]] == e
