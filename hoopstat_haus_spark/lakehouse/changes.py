@@ -80,7 +80,16 @@ def table_changes(
     updated key emits TWO rows — ``update_pre`` (FROM values) and
     ``update_post`` (TO values) — which is what makes downstream
     aggregates incrementally maintainable (subtract the preimage, add
-    the postimage; see lakehouse/incremental.py)."""
+    the postimage; see lakehouse/incremental.py).
+
+    EAGER for two-sided diffs (round 6): the skinny classify join runs
+    at CALL time (the net-changed key set is localCheckpoint'd and its
+    class counts drive phase-2 planning), so this is not a pure plan
+    builder anymore. The checkpointed key blocks are freed when the
+    returned frame is garbage-collected — callers that diff many
+    snapshot pairs in one long-lived session should drop references
+    between calls (every current caller consumes the frame immediately).
+    """
     to_id = to_id if to_id is not None else table.log.current_id()
     schema = table.schema_def(to_id)
     names = schema.names()

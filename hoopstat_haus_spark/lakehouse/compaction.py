@@ -326,25 +326,21 @@ def _write_sorted_with_stats(
     wide = df.withColumn("_zs_flag", flag)
 
     def write_partition(batches):
-        import numpy as np
         import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark import TaskContext
+
+        from hoopstat_haus_spark.lakehouse.manifest import FileStatsAcc
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx else 0
         name = f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.parquet"
         writer = None
-        n_rows = 0
-        tok_sum = 0
-        min_doc = max_doc = None
-        min_nt = max_nt = None
-        zk_parts: list = []
-        samp_parts: list = []
+        acc = FileStatsAcc()
         for batch in batches:
             cols = batch.schema.names
             zk = batch.column(cols.index("_zkey")).to_numpy(zero_copy_only=False)
-            fl = batch.column(cols.index("_zs_flag")).to_numpy(zero_copy_only=False)
+            fl = batch.column(cols.index("_zs_flag")).to_numpy(zero_copy_only=False).astype(bool)
             data = batch.drop_columns(["_zs_flag"])
             if writer is None:
                 writer = pq.ParquetWriter(
@@ -354,41 +350,24 @@ def _write_sorted_with_stats(
                     compression_level=codec_level,
                 )
             writer.write_batch(data)
-            n_rows += batch.num_rows
-            nt = batch.column(cols.index("n_tok"))
-            tok_sum += pa.compute.sum(nt).as_py() or 0
-            mm = pa.compute.min_max(nt)
-            lo, hi = mm["min"].as_py(), mm["max"].as_py()
-            min_nt = lo if min_nt is None else min(min_nt, lo)
-            max_nt = hi if max_nt is None else max(max_nt, hi)
-            dm = pa.compute.min_max(batch.column(cols.index("doc_id")))
-            dlo, dhi = dm["min"].as_py(), dm["max"].as_py()
-            min_doc = dlo if min_doc is None else min(min_doc, dlo)
-            max_doc = dhi if max_doc is None else max(max_doc, dhi)
-            zk_parts.append(zk)
-            samp_parts.append(zk[fl.astype(bool)])
+            acc.add(batch, zk, fl)
         if writer is None:  # empty route partition: no file, no stats row
             return
         writer.close()
-        zk_all = np.concatenate(zk_parts)
-        samp = np.concatenate(samp_parts)
-        zs = np.sort(samp if len(samp) else zk_all)  # tiny-file fallback
-        n = len(zs)
-        if n > ZQ_GRID - 1:
-            zs = zs[[min(n - 1, i * n // ZQ_GRID) for i in range(1, ZQ_GRID)]]
+        stats = acc.finalize(clustered=True)
         yield pa.RecordBatch.from_pydict(
             {
                 "pid": pa.array([pid], pa.int32()),
                 "file_name": pa.array([name], pa.string()),
-                "row_count": pa.array([n_rows], pa.int64()),
-                "token_count": pa.array([tok_sum], pa.int64()),
-                "min_doc_id": pa.array([min_doc], pa.string()),
-                "max_doc_id": pa.array([max_doc], pa.string()),
-                "min_n_tok": pa.array([min_nt], pa.int32()),
-                "max_n_tok": pa.array([max_nt], pa.int32()),
-                "zmin": pa.array([int(zk_all.min())], pa.int64()),
-                "zmax": pa.array([int(zk_all.max())], pa.int64()),
-                "zq": pa.array([[int(z) for z in zs]], pa.list_(pa.int64())),
+                "row_count": pa.array([stats["row_count"]], pa.int64()),
+                "token_count": pa.array([stats["token_count"]], pa.int64()),
+                "min_doc_id": pa.array([stats["min_doc_id"]], pa.string()),
+                "max_doc_id": pa.array([stats["max_doc_id"]], pa.string()),
+                "min_n_tok": pa.array([stats["min_n_tok"]], pa.int32()),
+                "max_n_tok": pa.array([stats["max_n_tok"]], pa.int32()),
+                "zmin": pa.array([stats["zmin"]], pa.int64()),
+                "zmax": pa.array([stats["zmax"]], pa.int64()),
+                "zq": pa.array([stats["zq"]], pa.list_(pa.int64())),
             }
         )
 

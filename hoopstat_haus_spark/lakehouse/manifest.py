@@ -222,28 +222,104 @@ _PARTITIONED_STATS_DDL = (
 )
 
 # fused-writer buffering: flush a source's accumulated batches as one
-# row group at this many rows (~128 MB at the ~1 KB/row token payload),
+# row group at this many rows (~64 MB at the ~1 KB/row token payload),
 # and flush everything when the task's total buffer crosses the cap
-_FLUSH_ROWS_PER_SOURCE = 128_000
-_FLUSH_ROWS_TOTAL = 512_000
+# (~128 MB/task worst case on top of the in-flight Arrow batch — the
+# Python worker has no spill mechanism, so the bound must be explicit)
+_FLUSH_ROWS_PER_SOURCE = 64_000
+_FLUSH_ROWS_TOTAL = 128_000
 
 
 def parquet_codec_conf(spark: SparkSession) -> tuple[str | None, int | None]:
     """(codec, level) for the pyarrow writers, honoring the SAME session
     confs the JVM parquet writer reads — a caller that temporarily sets
     e.g. snappy (the bench's fragmented-ingest template) must get
-    snappy from the fused writers too."""
+    snappy from the fused writers too.
+
+    Spark codec names are translated to pyarrow's: ``lz4raw``/``lz4_raw``
+    map to pyarrow ``lz4`` (which writes the parquet LZ4_RAW codec);
+    ``lzo`` has no pyarrow encoder and raises HERE, driver-side, instead
+    of as an opaque executor task failure."""
     codec = spark.conf.get("spark.sql.parquet.compression.codec", "zstd").lower()
     if codec in ("uncompressed", "none"):
         return None, None
+    if codec in ("lz4raw", "lz4_raw"):
+        codec = "lz4"
+    if codec == "lzo":
+        raise ValueError(
+            "spark.sql.parquet.compression.codec=lzo is not supported by the "
+            "fused pyarrow writers (no LZO encoder); use zstd/snappy/gzip/lz4"
+        )
     level = None
     if codec == "zstd":
         level = int(spark.conf.get("spark.hadoop.parquet.compression.codec.zstd.level", "1"))
     return codec, level
 
 
+class FileStatsAcc:
+    """THE per-file manifest-stats accumulator shared by every fused
+    writer — one implementation of the stats definition so it cannot
+    drift between the write paths and :func:`compute_file_stats`
+    (which pins it): fold Arrow batches with :meth:`add`, read the
+    final stat fields from :meth:`finalize`.
+
+    ``zk`` is the file's z-key source values (stored ``_zkey`` for
+    clustered output, derived Morton key for unclustered input),
+    ``flag`` the JVM-computed zq sample membership. The sketch is the
+    ascending-sorted sample grid-truncated to ≤ ZQ_GRID−1 points, with
+    the tiny-file full-keys fallback — index arithmetic identical to
+    ``_zq_grid_expr``."""
+
+    def __init__(self) -> None:
+        self.n_rows = 0
+        self.tok_sum = 0
+        self.min_doc = self.max_doc = None
+        self.min_nt = self.max_nt = None
+        self.zk_parts: list = []
+        self.samp_parts: list = []
+
+    def add(self, batch, zk, flag) -> None:
+        import pyarrow.compute as pc
+
+        names = batch.schema.names
+        self.n_rows += batch.num_rows
+        nt = batch.column(names.index("n_tok"))
+        self.tok_sum += pc.sum(nt).as_py() or 0
+        mm = pc.min_max(nt)
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        self.min_nt = lo if self.min_nt is None else min(self.min_nt, lo)
+        self.max_nt = hi if self.max_nt is None else max(self.max_nt, hi)
+        dm = pc.min_max(batch.column(names.index("doc_id")))
+        dlo, dhi = dm["min"].as_py(), dm["max"].as_py()
+        self.min_doc = dlo if self.min_doc is None else min(self.min_doc, dlo)
+        self.max_doc = dhi if self.max_doc is None else max(self.max_doc, dhi)
+        self.zk_parts.append(zk)
+        self.samp_parts.append(zk[flag])
+
+    def finalize(self, clustered: bool) -> dict:
+        import numpy as np
+
+        zk_all = np.concatenate(self.zk_parts)
+        samp = np.concatenate(self.samp_parts)
+        zs = np.sort(samp if len(samp) else zk_all)  # tiny-file fallback
+        n = len(zs)
+        if n > ZQ_GRID - 1:
+            zs = zs[[min(n - 1, i * n // ZQ_GRID) for i in range(1, ZQ_GRID)]]
+        return {
+            "row_count": self.n_rows,
+            "token_count": self.tok_sum,
+            "min_doc_id": self.min_doc,
+            "max_doc_id": self.max_doc,
+            "min_n_tok": self.min_nt,
+            "max_n_tok": self.max_nt,
+            "zmin": int(zk_all.min()) if clustered else -1,
+            "zmax": int(zk_all.max()) if clustered else -1,
+            "zq": [int(z) for z in zs],
+        }
+
+
 def write_partitioned_with_stats(
-    df: DataFrame, staging: str, curve: str, codec: str | None, codec_level: int | None
+    df: DataFrame, staging: str, codec: str | None, codec_level: int | None
 ) -> list[dict]:
     """Write ``df`` partitioned by ``source`` under ``staging`` AND
     compute every output file's manifest stats in the SAME job — the
@@ -269,8 +345,6 @@ def write_partitioned_with_stats(
     files named in collected rows are renamed."""
     import uuid as _uuid
 
-    from pyspark.sql import functions as F
-
     has_zkey = ZKEY_COL in df.columns
     flag = F.pmod(F.xxhash64("doc_id", F.lit(13)), F.lit(ZQ_SAMPLE_MOD)) == 0
     wide = df.withColumn("_zs_flag", flag)
@@ -284,15 +358,16 @@ def write_partitioned_with_stats(
     helper_cols = ["_zs_flag"] + ([] if has_zkey else ["_zq_src"])
 
     def write_task(batches):
-        import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
         from pyspark import TaskContext
 
+        from hoopstat_haus_spark.lakehouse.manifest import FileStatsAcc
+
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx else 0
-        state: dict[str, dict] = {}  # source value -> accumulators
+        state: dict[str, dict] = {}  # source value -> writer + accumulator
         total_buffered = 0
 
         def flush(st):
@@ -332,32 +407,13 @@ def write_partitioned_with_stats(
                         "writer": None,
                         "buf": [],
                         "buf_rows": 0,
-                        "n_rows": 0,
-                        "tok_sum": 0,
-                        "min_doc": None,
-                        "max_doc": None,
-                        "min_nt": None,
-                        "max_nt": None,
-                        "zk": [],
-                        "samp": [],
+                        "acc": FileStatsAcc(),
                     }
                 st["buf"].append(sub.drop_columns(drop))
                 st["buf_rows"] += sub.num_rows
                 total_buffered += sub.num_rows
-                st["n_rows"] += sub.num_rows
-                nt = sub.column(sub.schema.names.index("n_tok"))
-                st["tok_sum"] += pc.sum(nt).as_py() or 0
-                mm = pc.min_max(nt)
-                lo, hi = mm["min"].as_py(), mm["max"].as_py()
-                st["min_nt"] = lo if st["min_nt"] is None else min(st["min_nt"], lo)
-                st["max_nt"] = hi if st["max_nt"] is None else max(st["max_nt"], hi)
-                dm = pc.min_max(sub.column(sub.schema.names.index("doc_id")))
-                dlo, dhi = dm["min"].as_py(), dm["max"].as_py()
-                st["min_doc"] = dlo if st["min_doc"] is None else min(st["min_doc"], dlo)
-                st["max_doc"] = dhi if st["max_doc"] is None else max(st["max_doc"], dhi)
                 m = mask.to_numpy(zero_copy_only=False).astype(bool)
-                st["zk"].append(zk[m])
-                st["samp"].append(zk[m & fl])
+                st["acc"].add(sub, zk[m], fl[m])
                 if st["buf_rows"] >= _FLUSH_ROWS_PER_SOURCE:
                     flush(st)
             if total_buffered >= _FLUSH_ROWS_TOTAL:
@@ -376,25 +432,13 @@ def write_partitioned_with_stats(
             if st["writer"] is None:
                 continue
             st["writer"].close()
-            zk_all = np.concatenate(st["zk"])
-            samp = np.concatenate(st["samp"])
-            zs = np.sort(samp if len(samp) else zk_all)
-            n = len(zs)
-            if n > ZQ_GRID - 1:
-                zs = zs[[min(n - 1, i * n // ZQ_GRID) for i in range(1, ZQ_GRID)]]
+            stats = st["acc"].finalize(clustered=has_zkey)
             out["pid"].append(pid)
             out["partition"].append(val)
             out["dir"].append(st["dir"])
             out["file_name"].append(st["name"])
-            out["row_count"].append(st["n_rows"])
-            out["token_count"].append(st["tok_sum"])
-            out["min_doc_id"].append(st["min_doc"])
-            out["max_doc_id"].append(st["max_doc"])
-            out["min_n_tok"].append(st["min_nt"])
-            out["max_n_tok"].append(st["max_nt"])
-            out["zmin"].append(int(zk_all.min()) if has_zkey else -1)
-            out["zmax"].append(int(zk_all.max()) if has_zkey else -1)
-            out["zq"].append([int(z) for z in zs])
+            for k, v in stats.items():
+                out[k].append(v)
         if out["pid"]:
             yield pa.RecordBatch.from_pydict(
                 out,

@@ -133,7 +133,7 @@ class TokenLakeTable:
         os.makedirs(staging, exist_ok=True)
         codec, level = mf.parquet_codec_conf(self.spark)
         zq_curve = curve if mf.ZKEY_COL in out.columns else "zorder"
-        rows = mf.write_partitioned_with_stats(out, staging, curve, codec, level)
+        rows = mf.write_partitioned_with_stats(out, staging, codec, level)
         new_rel: list[str] = []
         entries: list[dict] = []
         seq: dict[str, int] = {}
