@@ -39,6 +39,13 @@ OP_COL = "_op"  # optional in updates: 'upsert' (default) | 'delete'
 
 INSERT_TARGET_FILE_BYTES = 128 << 20
 
+# Snapshot-summary keys the merge commit computes itself; summary_extra
+# must not shadow them (history()/metadata readers trust the aggregates).
+_RESERVED_SUMMARY_KEYS = frozenset(
+    {"files", "rows", "tokens", "bytes", "partitions",
+     "job_id", "rewritten_files", "new_files", "schema_version"}
+)
+
 
 def _avg_row_bytes(records: list[dict]) -> int:
     """Observed bytes/row from the manifest LIST's per-shard aggregates
@@ -91,7 +98,14 @@ def merge_into(
 
     ``summary_extra`` fields are merged into the commit's snapshot
     summary (e.g. the streaming ingest stamps ``stream_id`` /
-    ``stream_batch_id`` there for replay idempotence)."""
+    ``stream_batch_id`` there for replay idempotence). Keys that would
+    clobber the commit's own aggregates are rejected up front —
+    history() and metadata readers depend on those values."""
+    clash = set(summary_extra or {}) & _RESERVED_SUMMARY_KEYS
+    if clash:
+        raise ValueError(
+            f"summary_extra keys would clobber commit aggregates: {sorted(clash)}"
+        )
     job_id = job_id or f"merge-{uuid.uuid4().hex[:10]}"
     metrics = JobMetrics(job=job_id)
     try:
@@ -315,7 +329,7 @@ def _merge_apply(
         {
             # full table aggregates, same as append/compact/DML commits —
             # history() and other metadata readers must not see files=0
-            # on merge snapshots
+            # on merge snapshots (summary_extra overlap rejected at entry)
             **mf.summary_from_records(new_records),
             "job_id": job_id,
             "rewritten_files": len(cand_paths),

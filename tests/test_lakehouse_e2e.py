@@ -78,6 +78,14 @@ def test_full_cycle_token_equality_and_isolation(table):
     assert metrics.rows == 12000
 
 
+def test_merge_summary_extra_cannot_clobber_aggregates(table, spark):
+    # fail-fast at entry: no rewrite work happens, no snapshot is committed
+    head = table.log.current_id()
+    with pytest.raises(ValueError, match="clobber commit aggregates"):
+        merge_into(table, synthetic(spark, 5), summary_extra={"rows": 0})
+    assert table.log.current_id() == head
+
+
 def test_merge_upsert_insert_delete(table, spark):
     base = sig_rows(table)
     head = table.log.current_id()
